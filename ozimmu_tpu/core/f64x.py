@@ -1,0 +1,124 @@
+"""Exact float64 carriage for TPU: IEEE-754 bits as two int32 planes.
+
+Why this exists: XLA:TPU has no native float64 — ``jnp.float64`` arrays on
+TPU are stored and computed as float32 pairs (~49-bit significand, float32
+exponent range).  Merely *placing* an f64 array on a TPU loses mantissa
+bits and overflows beyond ~1e38.  A faithful FP64 GEMM engine therefore
+cannot touch XLA f64 on device.  ``F64X`` carries the raw IEEE-754 bit
+pattern as two uint32 arrays (hi = sign/exponent/mantissa-high, lo =
+mantissa-low), which every backend stores exactly.  Host conversion is a
+free numpy view; device kernels operate on the bits with native int32 ops.
+
+The reference engine has no analogue — CUDA has real f64 — this type is
+the TPU-first answer to the same requirement (exact operand bits feeding
+the split kernel, reference src/split.cu:154-185).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@jax.tree_util.register_pytree_node_class
+@dataclasses.dataclass(frozen=True)
+class F64X:
+    """Exact float64 tensor as IEEE bit planes (hi, lo), both uint32."""
+
+    hi: jax.Array
+    lo: jax.Array
+
+    # -- pytree protocol -------------------------------------------------
+    def tree_flatten(self):
+        return (self.hi, self.lo), None
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children)
+
+    # -- properties ------------------------------------------------------
+    @property
+    def shape(self) -> Tuple[int, ...]:
+        return tuple(self.hi.shape)
+
+    @property
+    def ndim(self) -> int:
+        return self.hi.ndim
+
+    # -- conversions -----------------------------------------------------
+    @classmethod
+    def from_numpy(cls, x: np.ndarray) -> "F64X":
+        """Exact host conversion (a bit-level view; no rounding)."""
+        x = np.ascontiguousarray(x, dtype=np.float64)
+        bits = x.view(np.uint64)
+        hi = (bits >> np.uint64(32)).astype(np.uint32)
+        lo = (bits & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+        return cls(jnp.asarray(hi), jnp.asarray(lo))
+
+    def to_numpy(self) -> np.ndarray:
+        """Exact host conversion back to numpy float64."""
+        hi = np.asarray(jax.device_get(self.hi), dtype=np.uint64)
+        lo = np.asarray(jax.device_get(self.lo), dtype=np.uint64)
+        return ((hi << np.uint64(32)) | lo).view(np.float64)
+
+    @classmethod
+    def from_scalar(cls, v: float) -> "F64X":
+        return cls.from_numpy(np.array(v, dtype=np.float64).reshape(()))
+
+    def transpose(self) -> "F64X":
+        return F64X(self.hi.T, self.lo.T)
+
+    def reshape(self, *shape) -> "F64X":
+        return F64X(self.hi.reshape(*shape), self.lo.reshape(*shape))
+
+    def __getitem__(self, idx) -> "F64X":
+        return F64X(self.hi[idx], self.lo[idx])
+
+
+def as_f64x(x) -> F64X:
+    """Coerce numpy / python / F64X input into F64X (exact)."""
+    if isinstance(x, F64X):
+        return x
+    if isinstance(x, (float, int)):
+        return F64X.from_scalar(float(x))
+    if isinstance(x, np.ndarray):
+        return F64X.from_numpy(x)
+    if isinstance(x, jax.Array):
+        if x.dtype == jnp.float64:
+            # Only exact if the array lives on a true-f64 backend (CPU).
+            return F64X.from_numpy(np.asarray(jax.device_get(x)))
+        raise TypeError(f"cannot convert jax array of dtype {x.dtype} to F64X")
+    raise TypeError(f"cannot convert {type(x)} to F64X")
+
+
+# -- fields, usable inside jit ------------------------------------------
+
+_EXP_MASK = np.uint32(0x7FF00000)
+_MANT_HI_MASK = np.uint32(0x000FFFFF)
+
+
+def exponent_field(x: F64X) -> jax.Array:
+    """Biased 11-bit exponent as int32."""
+    return ((x.hi & _EXP_MASK) >> np.uint32(20)).astype(jnp.int32)
+
+
+def sign_bit(x: F64X) -> jax.Array:
+    """1 where negative (int32)."""
+    return (x.hi >> np.uint32(31)).astype(jnp.int32)
+
+
+def mantissa_parts(x: F64X) -> Tuple[jax.Array, jax.Array]:
+    """(m_hi21, m_lo32): the 53-bit significand with implicit bit folded in.
+
+    ``m_hi21`` holds bits 32..52 (21 bits incl. implicit one for normals,
+    raw 20 bits for exponent-field-0 values — reference split.cu:160-162),
+    ``m_lo32`` holds bits 0..31.  Both uint32.
+    """
+    e = exponent_field(x)
+    m_hi = x.hi & _MANT_HI_MASK
+    m_hi = jnp.where(e > 0, m_hi | np.uint32(1 << 20), m_hi)
+    return m_hi, x.lo

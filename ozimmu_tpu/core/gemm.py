@@ -1,0 +1,187 @@
+"""The device GEMM engine: split -> MXU recombination -> exact epilogue.
+
+TPU-first equivalent of the reference orchestration layer
+(src/gemm.cu:344-521 ``gemm_int8<double/cuDoubleComplex>`` and the
+dispatching ``mtk::ozimmu::gemm`` gemm.cu:524-653), with these deliberate
+architecture changes:
+
+  * no handle/arena — XLA owns memory and scheduling; the whole GEMM is a
+    single fused jitted computation instead of ~100 kernel launches;
+  * equal-weight slice pairs are fused into single longer int8
+    contractions on the MXU (ops/recombine.py);
+  * all f64 carriage is exact bit planes (core/f64x.py) because XLA:TPU
+    has no real f64;
+  * the epilogue (alpha/beta folding, reference gemm.cu:124-239) runs in
+    triple-f32 extended precision with a single final rounding.
+
+Layout contract: row-major logical matrices.  ``gemm_f64x(a, b)`` computes
+``alpha * (a @ b) + beta * c`` for a [m, k] and b [k, n].  Transpose flags
+are applied by the caller/public API (core/api.py), mirroring how the
+reference normalizes operands before splitting (split.cu:244-283).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..schedule import bits_per_int8
+from ..core.f64x import F64X
+from ..ops import tf32x3
+from ..ops.pack import aligned_add, pack_f64x, scalar_triple, unpack_f64x
+from ..ops.recombine import acc_shift, recombine
+from ..ops.split import split_f64x, split_f64x_cols
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4), inline=True)
+def _gemm_core(
+    a: F64X,
+    b: F64X,
+    num_split: int,
+    alpha: float,
+    beta: float,
+    c: Optional[F64X] = None,
+):
+    """Real-valued engine core (single jitted graph)."""
+    m, k = a.shape
+    k2, n = b.shape
+    bb = bits_per_int8(k)
+    da, pa = split_f64x(a, num_split, bb)
+    db, pb = split_f64x_cols(b, num_split, bb)
+    S = recombine(da, db, num_split, bb, k)
+    E = (pa[:, None] + pb[None, :] - acc_shift(num_split, bb)).astype(jnp.int32)
+
+    if alpha != 1.0:
+        at, ae = scalar_triple(alpha)
+        S = tf32x3.mul(S, at)
+        E = E + np.int32(ae)
+    if beta != 0.0:
+        if c is None:
+            raise ValueError("beta != 0 requires c")
+        ct, cE = unpack_f64x(c)
+        if beta != 1.0:
+            bt, be = scalar_triple(beta)
+            ct = tf32x3.mul(ct, bt)
+            cE = cE + np.int32(be)
+        S, E = aligned_add(S, E, ct, cE)
+    return pack_f64x(S, E)
+
+
+def gemm_f64x(
+    a: F64X,
+    b: F64X,
+    num_split: int,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    c: Optional[F64X] = None,
+) -> F64X:
+    """Emulated FP64 GEMM on exact bit planes: alpha*(a@b) + beta*c."""
+    if a.shape[1] != b.shape[0]:
+        raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    if bits_per_int8(a.shape[1]) <= 0:
+        raise ValueError(f"k={a.shape[1]} too large for int8 emulation")
+    return _gemm_core(a, b, num_split, float(alpha), float(beta), c)
+
+
+# ---------------------------------------------------------------------------
+# Complex engine: 4-pass real algorithm (reference gemm.cu:412-521).
+# ---------------------------------------------------------------------------
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6), inline=True)
+def _zgemm_core(
+    a_re: F64X,
+    a_im: F64X,
+    b_re: F64X,
+    b_im: F64X,
+    num_split: int,
+    alpha: complex,
+    beta: complex,
+    c_re: Optional[F64X] = None,
+    c_im: Optional[F64X] = None,
+):
+    m, k = a_re.shape
+    n = b_re.shape[1]
+    bb = bits_per_int8(k)
+    shift = np.int32(acc_shift(num_split, bb))
+
+    da_re, pa_re = split_f64x(a_re, num_split, bb)
+    da_im, pa_im = split_f64x(a_im, num_split, bb)
+    db_re, pb_re = split_f64x_cols(b_re, num_split, bb)
+    db_im, pb_im = split_f64x_cols(b_im, num_split, bb)
+
+    a_planes = {0: (da_re, pa_re), 1: (da_im, pa_im)}
+    b_planes = {0: (db_re, pb_re), 1: (db_im, pb_im)}
+
+    # out = beta * c, accumulated per real/imag part as (triple, exp)
+    def init_part(cp):
+        if beta == 0 or cp is None:
+            return tf32x3.zeros((m, n)), jnp.full((m, n), -(2**20), dtype=jnp.int32)
+        t, E = unpack_f64x(cp)
+        return t, E
+
+    def cmul_fold(acc, fold_re, fold_im, S, E):
+        """acc(+)= (fold_re + i*fold_im) * S*2^E  on (re, im) parts."""
+        (tre, Ere), (tim, Eim) = acc
+        if fold_re != 0.0:
+            ft, fe = scalar_triple(fold_re)
+            tre, Ere = aligned_add(tre, Ere, tf32x3.mul(S, ft), E + np.int32(fe))
+        if fold_im != 0.0:
+            ft, fe = scalar_triple(fold_im)
+            tim, Eim = aligned_add(tim, Eim, tf32x3.mul(S, ft), E + np.int32(fe))
+        return (tre, Ere), (tim, Eim)
+
+    acc_re = init_part(c_re)
+    acc_im = init_part(c_im)
+    if beta != 0 and beta != 1:
+        # (re + i*im) * beta
+        br, bi = beta.real, beta.imag
+        tre, Ere = acc_re
+        tim, Eim = acc_im
+        new_re = tf32x3.zeros((m, n)), jnp.full((m, n), -(2**20), dtype=jnp.int32)
+        new_im = tf32x3.zeros((m, n)), jnp.full((m, n), -(2**20), dtype=jnp.int32)
+        acc = (new_re, new_im)
+        acc = cmul_fold(acc, br, bi, tre, Ere)
+        acc = cmul_fold(acc, -bi, br, tim, Eim)
+        acc_re, acc_im = acc
+
+    # passes over (A-part, B-part): {(im,im), (re,re), (im,re), (re,im)}
+    # fold factors (reference gemm.cu:479-518): re*re -> +alpha,
+    # im*im -> -alpha, cross terms -> i*alpha.
+    for ap, bp in ((1, 1), (0, 0), (1, 0), (0, 1)):
+        da, pa = a_planes[ap]
+        db, pb = b_planes[bp]
+        S = recombine(da, db, num_split, bb, k)
+        E = (pa[:, None] + pb[None, :] - shift).astype(jnp.int32)
+        if ap == 0 and bp == 0:
+            fold = alpha
+        elif ap == 1 and bp == 1:
+            fold = -alpha
+        else:
+            fold = complex(-alpha.imag, alpha.real)
+        acc_re, acc_im = cmul_fold((acc_re, acc_im), fold.real, fold.imag, S, E)
+
+    out_re = pack_f64x(acc_re[0], acc_re[1])
+    out_im = pack_f64x(acc_im[0], acc_im[1])
+    return out_re, out_im
+
+
+def zgemm_f64x(
+    a_re: F64X,
+    a_im: F64X,
+    b_re: F64X,
+    b_im: F64X,
+    num_split: int,
+    alpha: complex = 1.0 + 0j,
+    beta: complex = 0.0 + 0j,
+    c_re: Optional[F64X] = None,
+    c_im: Optional[F64X] = None,
+):
+    """Emulated complex FP64 GEMM (4-pass real engine)."""
+    return _zgemm_core(
+        a_re, a_im, b_re, b_im, num_split, complex(alpha), complex(beta), c_re, c_im
+    )

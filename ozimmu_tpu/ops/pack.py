@@ -1,0 +1,145 @@
+"""Rounding and bit assembly between triple-f32 values and exact IEEE f64.
+
+The engine's result exists on device as ``(triple-f32 mantissa, int32
+exponent)`` per element.  This module rounds that ~71-bit value to the
+nearest IEEE-754 binary64 and assembles the (hi, lo) uint32 bit planes of
+:class:`~ozimmu_tpu.core.f64x.F64X` — the TPU replacement for the
+reference's f64 epilogue kernels (``axby`` src/gemm.cu:124-158,
+``axy_complex`` gemm.cu:160-197), which relied on hardware f64 that TPUs
+do not have.
+
+Everything uses native int32/f32 plus (emulated) int64 shifts; correctness
+is validated bit-for-bit against numpy on the CPU backend, where all JAX
+dtypes are true IEEE.
+
+Rounding contract: round-to-nearest with two guard bits and ties broken
+upward (not to-even); worst-case error vs correctly-rounded f64 is
+~(0.5 + 2^-2) ulp plus the 2^-71 accumulator error — well inside the
+reference's own per-step f64 rounding envelope.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.f64x import F64X, exponent_field, mantissa_parts
+from . import tf32x3
+
+Triple = tf32x3.Triple
+
+_F32_MANT = np.int32(0x7FFFFF)
+_F32_IMPL = np.int32(1 << 23)
+
+
+def _f32_fields(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
+    """(sign(+1/-1), exponent field, significand int incl. implicit bit)."""
+    bits = jax.lax.bitcast_convert_type(x, jnp.int32)
+    sgn = jnp.where(bits < 0, np.int32(-1), np.int32(1))
+    ef = (bits >> 23) & np.int32(0xFF)
+    m = (bits & _F32_MANT) | jnp.where(ef > 0, _F32_IMPL, np.int32(0))
+    # Treat f32 denormals as zero (TPU flushes them anyway).
+    m = jnp.where(ef > 0, m, np.int32(0))
+    return sgn, ef, m
+
+
+def unpack_f64x(c: F64X) -> Tuple[Triple, jax.Array]:
+    """Exact decomposition: value(c) == (t0 + t1 + t2) * 2^E.
+
+    Components are exact f32 (21 + 16 + 16 significand bits); ``E`` is
+    int32.  Works for normals, subnormals and zeros; NaN/Inf are out of
+    the engine's contract (as in the reference).
+    """
+    field = exponent_field(c)
+    m_hi, m_lo = mantissa_parts(c)  # uint32 (21-bit incl implicit, 32-bit)
+    sgn = jnp.where((c.hi >> np.uint32(31)) == 1, np.float32(-1), np.float32(1))
+    E = jnp.where(field > 0, field, 1) - np.int32(1075)
+    l_hi = (m_lo >> np.uint32(16)).astype(jnp.float32)
+    l_lo = (m_lo & np.uint32(0xFFFF)).astype(jnp.float32)
+    t0 = m_hi.astype(jnp.float32) * np.float32(2.0**32)
+    t1 = l_hi * np.float32(2.0**16)
+    t2 = l_lo
+    return (t0 * sgn, t1 * sgn, t2 * sgn), E.astype(jnp.int32)
+
+
+def pack_f64x(t: Triple, E: jax.Array) -> F64X:
+    """Round ``(t0+t1+t2) * 2^E`` to nearest f64 and emit IEEE bit planes.
+
+    Handles normals, carries across the power-of-two boundary, subnormal
+    outputs (with rounding) and overflow to inf.
+    """
+    t = tf32x3.renorm(t)
+    E = jnp.asarray(E, dtype=jnp.int32)
+
+    s0, ef0, m0 = _f32_fields(t[0])
+    s1, ef1, m1 = _f32_fields(t[1])
+    s2, ef2, m2 = _f32_fields(t[2])
+    is_zero = ef0 == 0  # head is zero/denormal-f32 -> result 0
+
+    # Guard-space significand: q_g = round-able integer with 2 guard bits:
+    #   q_g ~= |v| * 2^(54 - e0),  v = t0+t1+t2, e0 = floor(log2|t0|)
+    # head contributes m0 << 31 exactly; tails shift by their exponent gap.
+    neg = s0 < 0
+    q = m0.astype(jnp.int64) << 31
+    for sgn_i, ef_i, m_i in ((s1, ef1, m1), (s2, ef2, m2)):
+        gap = jnp.clip(ef0 - ef_i, 0, 63).astype(jnp.int64)
+        contrib = (m_i.astype(jnp.int64) << 31) >> gap
+        q = q + jnp.where((sgn_i * s0) < 0, -contrib, contrib)
+
+    # Round to 53 bits (half-up in the 2-guard-bit space).
+    q53 = (q + 2) >> 2
+    # If cancellation dropped the head below 2^52, shift scale down a bit.
+    need_down = q53 < np.int64(1 << 52)
+    q53 = jnp.where(need_down, (q + 1) >> 1, q53)
+    e0 = (ef0 - 127) - jnp.where(need_down, 1, 0)
+
+    Ef = e0 + E + np.int32(1023)  # biased f64 exponent (pre-carry)
+    is_inf = Ef >= 2047  # outright overflow (pre-carry; carry handled below)
+    Ef_c = jnp.clip(Ef, -1, 2046)  # keep the int64 shift in range
+
+    # Subnormal path: shift the 53-bit significand right with rounding.
+    r = jnp.clip(1 - Ef, 0, 62).astype(jnp.int64)
+    half = jnp.where(r > 0, jnp.int64(1) << jnp.maximum(r - 1, 0), jnp.int64(0))
+    q_sub = (q53 + half) >> r
+    is_sub = Ef <= 0
+    # Assemble by addition so mantissa carries ripple into the exponent:
+    # q53 == 2^53 after rounding -> exponent += 1 (2046 carries to the inf
+    # encoding, which is exactly right); subnormal rounding up to 2^52 ->
+    # smallest normal.
+    bits_normal = (Ef_c.astype(jnp.int64) << 52) + (q53 - (jnp.int64(1) << 52))
+    bits = jnp.where(is_sub, q_sub, bits_normal)
+    bits = jnp.where(is_inf, jnp.int64(2047) << 52, bits)
+    bits = jnp.where(is_zero, jnp.int64(0), bits)
+
+    # sign applies to zeros too (preserves IEEE -0.0 through a round trip)
+    sign64 = jnp.where(neg, jnp.int64(1) << 63, jnp.int64(0))
+    bits = bits | sign64
+    hi = (bits >> 32).astype(jnp.uint32)
+    lo = jax.lax.convert_element_type(bits & np.int64(0xFFFFFFFF), jnp.uint32)
+    return F64X(hi, lo)
+
+
+def aligned_add(x: Triple, xE: jax.Array, y: Triple, yE: jax.Array) -> Tuple[Triple, jax.Array]:
+    """(x * 2^xE) + (y * 2^yE) as (triple, exponent).
+
+    Both operands are rescaled to the elementwise max exponent; a term
+    more than ~250 binades below the other underflows to zero in f32 —
+    the correct drop semantics (f64 rounding ignores terms >54 binades
+    apart anyway).
+    """
+    m = jnp.maximum(xE, yE)
+    dx = jnp.clip(xE - m, -300, 0)
+    dy = jnp.clip(yE - m, -300, 0)
+    xs = tf32x3.scale_pow2(x, dx)
+    ys = tf32x3.scale_pow2(y, dy)
+    return tf32x3.add(xs, ys), m
+
+
+def scalar_triple(v: float, shape=()) -> Tuple[Triple, int]:
+    """Static python float -> broadcast triple + exponent (exact)."""
+    (t0, t1, t2), e = tf32x3.from_f64_host(v)
+    mk = lambda c: jnp.full(shape, c, dtype=jnp.float32)
+    return (mk(t0), mk(t1), mk(t2)), e
