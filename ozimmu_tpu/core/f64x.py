@@ -111,6 +111,47 @@ def sign_bit(x: F64X) -> jax.Array:
     return (x.hi >> np.uint32(31)).astype(jnp.int32)
 
 
+def from_f32(x: jax.Array) -> F64X:
+    """Exact widening f32 -> f64 bit planes (device-side, integer ops).
+
+    Every finite f32 (incl. subnormals) is exactly representable in f64;
+    subnormal f32 inputs are renormalized using a float-conversion trick
+    to find the leading bit (int -> f32 conversion is exact below 2^24,
+    so its exponent field is the bit length).  Inf/NaN map to f64 Inf/NaN.
+    """
+    bits = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    sign = (bits >> 31) & np.int32(1)
+    ef = (bits >> 23) & np.int32(0xFF)
+    m = bits & np.int32(0x7FFFFF)
+
+    # normal: exponent rebias, mantissa left-aligned from 23 to 52 bits
+    e64_norm = ef - 127 + 1023
+    m52_norm = m.astype(jnp.int64) << 29
+
+    # subnormal f32: value = m * 2^-149, leading bit j via exact int->f32
+    fm = m.astype(jnp.float32)
+    j = (jax.lax.bitcast_convert_type(fm, jnp.int32) >> 23) - 127  # floor(log2 m)
+    j = jnp.maximum(j, 0)
+    e64_sub = j + 874  # (j - 149) + 1023
+    m52_sub = (m.astype(jnp.int64) << (52 - j).astype(jnp.int64)) - (
+        jnp.int64(1) << 52
+    )
+
+    is_zero = (ef == 0) & (m == 0)
+    is_sub = (ef == 0) & (m != 0)
+    is_nonfinite = ef == 255
+
+    e64 = jnp.where(is_sub, e64_sub, e64_norm)
+    e64 = jnp.where(is_nonfinite, 2047, e64)
+    m52 = jnp.where(is_sub, m52_sub, m52_norm)
+    bits64 = (e64.astype(jnp.int64) << 52) | m52
+    bits64 = jnp.where(is_zero, jnp.int64(0), bits64)
+    bits64 = bits64 | (sign.astype(jnp.int64) << 63)
+    hi = (bits64 >> 32).astype(jnp.uint32)
+    lo = jax.lax.convert_element_type(bits64 & np.int64(0xFFFFFFFF), jnp.uint32)
+    return F64X(hi, lo)
+
+
 def mantissa_parts(x: F64X) -> Tuple[jax.Array, jax.Array]:
     """(m_hi21, m_lo32): the 53-bit significand with implicit bit folded in.
 

@@ -1,0 +1,86 @@
+"""Mantissa-loss estimation and AUTO split-count selection.
+
+Re-derivation of the reference estimator (src/split.cu:300-518):
+per element, the mantissa space needed for an error-free split is
+``(row_max_exponent_doubled - exponent) + 53`` bits; with ``ns`` slices of
+``b`` bits each, ``loss(ns) = max(0, required - ns*b)``.  The totals over
+both operands, averaged per element, drive mode selection: the smallest
+``ns`` whose average loss is within threshold wins, else fall back to
+native ``dgemm`` (split.cu:453-494).
+
+Fixes carried over from the survey: the reference allocates 8 counter
+slots but writes 16 (handle.hpp:22 vs split.cu:397) — a device OOB.  Here
+the counter vector is sized from the mode range (16 slots for ns=3..18).
+
+TPU-first: instead of an ``atomicAdd`` kernel per operand, the whole loss
+table for all 16 candidate split counts is one jitted int32 reduction over
+the exponent field (the expensive part, the exponent load, is shared
+across all candidates).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.f64x import F64X, exponent_field
+from ..schedule import bits_per_int8
+from ..types import MAX_NUM_SPLIT, MIN_NUM_SPLIT, ComputeMode
+
+_NS_CANDIDATES = np.arange(MIN_NUM_SPLIT, MAX_NUM_SPLIT + 1, dtype=np.int32)
+
+
+@partial(jax.jit, static_argnums=(1,), inline=True)
+def mantissa_loss_totals(x: F64X, b: int) -> jax.Array:
+    """Loss totals for ns = 3..18 over rows of ``x`` [rows, k].
+
+    Returns int64 [16].  Elements with value exactly zero and rows whose
+    max exponent field is zero are skipped (reference split.cu:322-324).
+    """
+    e = exponent_field(x)  # [rows, k]
+    mant_nonzero = (
+        (x.hi & np.uint32(0x000FFFFF)) | x.lo
+    ) != 0
+    value_nonzero = (e > 0) | mant_nonzero
+    e_row = jnp.max(e, axis=1)
+    row_ok = e_row > 0
+
+    required = (e_row[:, None] + 1 - e) + 53  # int32
+    valid = value_nonzero & row_ok[:, None]
+    required = jnp.where(valid, required, 0)
+
+    space = (_NS_CANDIDATES * np.int32(b))[:, None, None]  # [16,1,1]
+    loss = jnp.maximum(required[None, :, :] - space, 0)
+    loss = jnp.where(valid[None, :, :], loss, 0)
+    return jnp.sum(loss.astype(jnp.int64), axis=(1, 2))
+
+
+def auto_mode_select(
+    a: F64X,
+    b_mat: F64X,
+    k: int,
+    threshold: float,
+    b_is_cols: bool = True,
+) -> ComputeMode:
+    """Pick the smallest adequate split count, else fall back to DGEMM.
+
+    ``a`` is [m, k]; ``b_mat`` is [k, n] when ``b_is_cols`` (split along
+    columns, i.e. over B^T rows) — matching reference split.cu:464-471.
+    Mirrors the selection loop of split.cu:473-493.
+    """
+    bb = bits_per_int8(k)
+    la = mantissa_loss_totals(a, bb)
+    bt = F64X(b_mat.hi.T, b_mat.lo.T) if b_is_cols else b_mat
+    lb = mantissa_loss_totals(bt, bb)
+    totals = np.asarray(jax.device_get(la + lb))
+    m = a.shape[0]
+    n = bt.shape[0]
+    denom = float(m * k + k * n)
+    for idx, ns in enumerate(_NS_CANDIDATES):
+        if totals[idx] / denom <= threshold:
+            return ComputeMode.from_num_split(int(ns))
+    return ComputeMode.DGEMM

@@ -7,7 +7,11 @@ distributed path can be exercised on a virtual 8-device mesh.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU unless explicitly overridden with OZ_TEST_PLATFORM=tpu: the
+# session environment presets JAX_PLATFORMS (e.g. to a TPU tunnel), and
+# remote compiles make the suite orders of magnitude slower.  The engine's
+# integer/f32 numerics are backend-invariant (validated on real TPU).
+os.environ["JAX_PLATFORMS"] = os.environ.get("OZ_TEST_PLATFORM", "cpu")
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,3 +21,8 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compile cache: the engine graphs are large (unrolled slice
+# schedules) and dominate test wall-time otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/ozimmu_jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)

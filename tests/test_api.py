@@ -1,0 +1,187 @@
+"""Public API tests: modes, transposes, auto selection, batching, profiling."""
+
+import numpy as np
+import pytest
+
+import ozimmu_tpu as oz
+from ozimmu_tpu.testing import error_metrics, generate_input
+
+
+class TestGemmAPI:
+    def test_basic_numpy_roundtrip(self):
+        a = generate_input("urand01", (64, 96), seed=0)
+        b = generate_input("urand01", (96, 48), seed=1)
+        c = oz.gemm(a, b, mode="fp64_int8_9")
+        assert isinstance(c, np.ndarray) and c.shape == (64, 48)
+        assert error_metrics(c, a, b)["relative_residual"] < 1e-15
+
+    @pytest.mark.parametrize("op_a,op_b", [("N", "N"), ("N", "T"), ("T", "N"), ("T", "T")])
+    def test_transposes(self, op_a, op_b):
+        rng = np.random.default_rng(2)
+        m, n, k = 24, 16, 32
+        a = rng.uniform(size=(m, k) if op_a == "N" else (k, m))
+        b = rng.uniform(size=(k, n) if op_b == "N" else (n, k))
+        c = oz.gemm(a, b, mode="fp64_int8_9", op_a=op_a, op_b=op_b)
+        ae = a if op_a == "N" else a.T
+        be = b if op_b == "N" else b.T
+        np.testing.assert_allclose(c, ae @ be, rtol=1e-14)
+
+    def test_matmul_alias(self):
+        rng = np.random.default_rng(3)
+        a, b = rng.uniform(size=(16, 16)), rng.uniform(size=(16, 16))
+        np.testing.assert_allclose(oz.matmul(a, b, mode="fp64_int8_9"), a @ b, rtol=1e-14)
+
+    def test_f64x_in_out(self):
+        rng = np.random.default_rng(4)
+        a, b = rng.uniform(size=(16, 24)), rng.uniform(size=(24, 16))
+        out = oz.gemm(oz.F64X.from_numpy(a), oz.F64X.from_numpy(b), mode="fp64_int8_9")
+        assert isinstance(out, oz.F64X)
+        np.testing.assert_allclose(out.to_numpy().reshape(16, 16), a @ b, rtol=1e-14)
+
+    def test_dgemm_mode(self):
+        rng = np.random.default_rng(5)
+        a, b = rng.uniform(size=(16, 16)), rng.uniform(size=(16, 16))
+        c = oz.gemm(a, b, mode="dgemm")
+        np.testing.assert_allclose(c, a @ b, rtol=1e-13)
+
+    def test_sgemm_mode(self):
+        rng = np.random.default_rng(6)
+        a, b = rng.uniform(size=(32, 32)), rng.uniform(size=(32, 32))
+        c = oz.gemm(a, b, mode="sgemm")
+        # f32 accuracy only
+        np.testing.assert_allclose(c, a @ b, rtol=1e-4)
+        assert error_metrics(c, a, b)["relative_residual"] > 1e-9  # really f32
+
+    def test_sgemm_alpha_beta(self):
+        rng = np.random.default_rng(7)
+        a, b = rng.uniform(size=(16, 16)), rng.uniform(size=(16, 16))
+        c0 = rng.uniform(size=(16, 16))
+        out = oz.gemm(a, b, mode="sgemm", alpha=2.0, beta=1.0, c=c0)
+        np.testing.assert_allclose(out, 2.0 * (a @ b) + c0, rtol=1e-4)
+
+    def test_complex_api(self):
+        a = generate_input("urand01", (24, 32), seed=8, complex_=True)
+        b = generate_input("urand01", (32, 16), seed=9, complex_=True)
+        c = oz.gemm(a, b, mode="fp64_int8_9")
+        assert error_metrics(c, a, b)["relative_residual"] < 1e-15
+
+    def test_complex_transposes(self):
+        rng = np.random.default_rng(10)
+        a = rng.uniform(size=(20, 12)) + 1j * rng.uniform(size=(20, 12))
+        b = rng.uniform(size=(16, 20)) + 1j * rng.uniform(size=(16, 20))
+        c = oz.gemm(a, b, mode="fp64_int8_9", op_a="T", op_b="T")
+        np.testing.assert_allclose(c, a.T @ b.T, rtol=1e-13)
+
+    def test_k_too_large_raises(self):
+        from ozimmu_tpu.core.api import _check_k_supported
+
+        _check_k_supported(2**26)  # b=2: still emulatable
+        with pytest.raises(ValueError, match="int8 emulation bound"):
+            _check_k_supported(2**31)
+
+    def test_shape_mismatch_raises(self):
+        with pytest.raises(ValueError):
+            oz.gemm(np.zeros((4, 5)), np.zeros((6, 4)), mode="fp64_int8_9")
+
+
+class TestAutoMode:
+    def test_uniform_picks_small_ns(self):
+        a = generate_input("urand01", (64, 64), seed=11)
+        b = generate_input("urand01", (64, 64), seed=12)
+        mode = oz.auto_mode_select(a, b, threshold=0.0)
+        assert mode.is_int8
+        # uniform [0,1): tiny exponent spread; required ~53+few bits, b=7
+        assert mode.num_split <= 10
+
+    def test_spread_needs_more_slices(self):
+        a = generate_input("exp_rand-6", (64, 64), seed=13)
+        b = generate_input("exp_rand-6", (64, 64), seed=14)
+        m_spread = oz.auto_mode_select(a, b, threshold=0.0)
+        a2 = generate_input("urand01", (64, 64), seed=13)
+        b2 = generate_input("urand01", (64, 64), seed=14)
+        m_uniform = oz.auto_mode_select(a2, b2, threshold=0.0)
+        if m_spread.is_int8:
+            assert m_spread.num_split >= m_uniform.num_split
+        # with a loose threshold the spread input picks a smaller ns
+        m_loose = oz.auto_mode_select(a, b, threshold=100.0)
+        assert m_loose.is_int8
+        assert m_loose.num_split <= (m_spread.num_split if m_spread.is_int8 else 18)
+
+    def test_extreme_spread_falls_back_to_dgemm(self):
+        rng = np.random.default_rng(15)
+        a = rng.uniform(size=(32, 32)) * np.exp2(rng.integers(-500, 500, (32, 32)))
+        b = rng.uniform(size=(32, 32)) * np.exp2(rng.integers(-500, 500, (32, 32)))
+        mode = oz.auto_mode_select(a, b, threshold=0.0)
+        assert mode == oz.ComputeMode.DGEMM
+
+    def test_auto_gemm_end_to_end(self):
+        a = generate_input("urand01", (48, 48), seed=16)
+        b = generate_input("urand01", (48, 48), seed=17)
+        c = oz.gemm(a, b, mode="fp64_int8_auto")
+        assert error_metrics(c, a, b)["relative_residual"] < 1e-15
+
+
+class TestBatched:
+    def test_batched_matches_loop(self):
+        rng = np.random.default_rng(18)
+        a = rng.uniform(size=(4, 16, 24))
+        b = rng.uniform(size=(4, 24, 12))
+        out = oz.gemm_batched(a, b, mode="fp64_int8_9")
+        for i in range(4):
+            np.testing.assert_allclose(out[i], a[i] @ b[i], rtol=1e-14)
+
+    def test_batched_with_c(self):
+        rng = np.random.default_rng(19)
+        a = rng.uniform(size=(3, 8, 8))
+        b = rng.uniform(size=(3, 8, 8))
+        c0 = rng.uniform(size=(3, 8, 8))
+        out = oz.gemm_batched(a, b, mode="fp64_int8_9", alpha=2.0, beta=-1.0, c=c0)
+        np.testing.assert_allclose(out, 2.0 * np.einsum("bmk,bkn->bmn", a, b) - c0, rtol=1e-13)
+
+
+class TestHandleAndProfiling:
+    def test_handle_lifecycle(self):
+        h = oz.create()
+        assert h.intercept_threshold_m == 1024
+        oz.set_auto_mantissa_loss_threshold(h, 2.5)
+        assert oz.get_auto_mantissa_loss_threshold(h) == 2.5
+        assert oz.destroy(h) == 0
+
+    def test_profiled_run_matches_fused(self, capsys):
+        rng = np.random.default_rng(20)
+        a, b = rng.uniform(size=(32, 32)), rng.uniform(size=(32, 32))
+        h = oz.create()
+        ref = oz.gemm(a, b, mode="fp64_int8_9", handle=h)
+        oz.enable_profiling(h)
+        out = oz.gemm(a, b, mode="fp64_int8_9", handle=h)
+        oz.disable_profiling(h)
+        np.testing.assert_array_equal(ref, out)  # same math, staged vs fused
+        oz.print_profiler_result(h, tag="t", csv=True)
+        text = capsys.readouterr().out
+        assert "split_A" in text and "int8tc" in text and "copy_result" in text
+        oz.clear_profiler_result(h)
+
+    def test_reallocate_working_memory_warmup(self):
+        h = oz.create()
+        from ozimmu_tpu.types import ComputeMode, ElementKind, Operation
+
+        size = oz.reallocate_working_memory(
+            h,
+            [
+                (Operation.N, Operation.N, 16, 16, 16, ElementKind.REAL, ComputeMode.FP64_INT8_8)
+            ],
+        )
+        assert size > 0
+
+    def test_culip_profiling_env(self, capsys, monkeypatch):
+        monkeypatch.setenv("OZIMMU_ENABLE_CULIP_PROFILING", "1")
+        rng = np.random.default_rng(21)
+        a, b = rng.uniform(size=(16, 16)), rng.uniform(size=(16, 16))
+        oz.gemm(a, b, mode="fp64_int8_8")
+        out = capsys.readouterr().out
+        assert "[CULiP Result][ozimmu_gemm-fp64_int8_8-m16-n16-k16]" in out
+
+    def test_env_compute_mode(self, monkeypatch):
+        monkeypatch.setenv("OZIMMU_COMPUTE_MODE", "fp64_int8_10")
+        h = oz.create()
+        assert h.resolve_mode(None) == oz.ComputeMode.FP64_INT8_10
