@@ -20,6 +20,9 @@ if "xla_force_host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# A pytest plugin (jaxtyping) imports jax before this conftest runs, so the
+# env var alone is snapshotted too early — set the config explicitly.
+jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
 jax.config.update("jax_enable_x64", True)
 
 # Persistent compile cache: the engine graphs are large (unrolled slice

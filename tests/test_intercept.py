@@ -1,0 +1,131 @@
+"""Interceptor tests: gating, rerouting, jit tracing, per-call env mode."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import ozimmu_tpu as oz
+import ozimmu_tpu.intercept as ozi
+from ozimmu_tpu.testing import error_metrics
+
+
+@pytest.fixture(autouse=True)
+def _clean_state():
+    yield
+    ozi.disable()
+
+
+def _mk(m, k, n, seed=0):
+    rng = np.random.default_rng(seed)
+    return (
+        jnp.asarray(rng.uniform(size=(m, k)), dtype=jnp.float64),
+        jnp.asarray(rng.uniform(size=(k, n)), dtype=jnp.float64),
+    )
+
+
+class TestTracedConversion:
+    def test_f64_roundtrip_traced(self):
+        rng = np.random.default_rng(1)
+        x = rng.normal(size=(256,)) * np.exp2(rng.integers(-30, 30, 256))
+        xj = jnp.asarray(x, dtype=jnp.float64)
+        fx = jax.jit(ozi.f64_to_f64x_traced)(xj)
+        np.testing.assert_array_equal(fx.to_numpy(), x)
+        back = np.asarray(jax.jit(ozi.f64x_to_f64_traced)(fx))
+        np.testing.assert_array_equal(back, x)
+
+
+class TestInterception:
+    def test_reroutes_above_threshold(self):
+        # thresholds default to 1024; shrink them for the test
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 32
+        a, b = _mk(64, 64, 64, seed=2)
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+            c = jnp.dot(a, b)
+        err = error_metrics(np.asarray(c), np.asarray(a), np.asarray(b))
+        assert err["relative_residual"] < 1e-15
+
+    def test_small_gemm_falls_through(self):
+        h = oz.create()
+        a, b = _mk(8, 8, 8, seed=3)
+        native = np.asarray(jnp.dot(a, b))
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+            c = np.asarray(jnp.dot(a, b))  # below 1024 thresholds
+        np.testing.assert_array_equal(c, native)
+
+    def test_f32_untouched(self):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 8
+        rng = np.random.default_rng(4)
+        a = jnp.asarray(rng.uniform(size=(32, 32)), dtype=jnp.float32)
+        native = np.asarray(jnp.dot(a, a))
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+            c = np.asarray(jnp.dot(a, a))
+        np.testing.assert_array_equal(c, native)
+
+    def test_matmul_and_einsum_covered(self):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 16
+        a, b = _mk(32, 32, 32, seed=5)
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+            c1 = np.asarray(a @ b)
+            c2 = np.asarray(jnp.matmul(a, b))
+            c3 = np.asarray(jnp.einsum("mk,kn->mn", a, b))
+        ref = np.asarray(a) @ np.asarray(b)
+        for c in (c1, c2, c3):
+            np.testing.assert_allclose(c, ref, rtol=1e-14)
+
+    def test_under_jit(self):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 16
+        a, b = _mk(48, 48, 48, seed=6)
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+
+            @jax.jit
+            def f(x, y):
+                return jnp.dot(x, y) + 1.0
+
+            c = np.asarray(f(a, b))
+        ref = np.asarray(a) @ np.asarray(b) + 1.0
+        np.testing.assert_allclose(c, ref, rtol=1e-14)
+
+    def test_transposed_dot_general(self):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 16
+        a, b = _mk(32, 48, 24, seed=7)  # a [32,48], b [48,24]
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+            # a.T @ b.T patterns via einsum: 'km,nk->mn'
+            c = np.asarray(jnp.einsum("km,nk->mn", a.T, b.T))
+        np.testing.assert_allclose(c, np.asarray(a) @ np.asarray(b), rtol=1e-14)
+
+    def test_env_mode_read_per_call(self, monkeypatch):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 16
+        a, b = _mk(32, 32, 32, seed=8)
+        ozi.enable(handle=h)  # no pinned mode -> env read per call
+        monkeypatch.setenv("OZIMMU_COMPUTE_MODE", "dgemm")
+        native = np.asarray(jnp.dot(a, b))
+        monkeypatch.setenv("OZIMMU_COMPUTE_MODE", "fp64_int8_9")
+        routed = np.asarray(jnp.dot(a, b))
+        err = error_metrics(routed, np.asarray(a), np.asarray(b))
+        assert err["relative_residual"] < 1e-15
+        assert routed.shape == native.shape
+
+    def test_auto_mode_eager(self):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 16
+        a, b = _mk(32, 32, 32, seed=9)
+        with ozi.intercept(mode="fp64_int8_auto", handle=h):
+            c = np.asarray(jnp.dot(a, b))
+        err = error_metrics(c, np.asarray(a), np.asarray(b))
+        assert err["relative_residual"] < 1e-15
+
+    def test_nested_engine_not_reintercepted(self):
+        # engine's internal int8 dot_generals must not recurse
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 1
+        a, b = _mk(32, 32, 32, seed=10)
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+            c = np.asarray(jnp.dot(a, b))
+        np.testing.assert_allclose(c, np.asarray(a) @ np.asarray(b), rtol=1e-14)
