@@ -1,0 +1,127 @@
+"""Headline benchmark: effective FP64 TFLOPS of emulated DGEMM on TPU.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "TFLOPS", "vs_baseline": R}
+
+``value``  — effective FP64 TFLOPS (2*m*n*k / t) of fp64_int8_9 DGEMM.
+``vs_baseline`` — speedup over the platform's own f64 matmul
+  (``jnp.dot`` with preferred_element_type=f64 — on TPU that is XLA's
+  double-float emulation, the only "native DGEMM" the platform has).
+
+Timing methodology: the benchmark runs N dependent engine iterations
+inside a single jit (each iteration's B operand is perturbed by one
+mantissa bit of the previous C, forcing real execution) and differences
+two run lengths — this cancels the multi-millisecond dispatch/transfer
+latency of remote-tunnel setups.  Diagnostics go to stderr; stdout gets
+exactly the one JSON line.
+"""
+
+import json
+import os
+import sys
+import time
+
+os.environ.setdefault("JAX_PLATFORMS", "")
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/ozimmu_jax"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+import jax.numpy as jnp
+import numpy as np
+from functools import partial
+
+from ozimmu_tpu.core.f64x import F64X
+from ozimmu_tpu.core.gemm import _gemm_core
+from ozimmu_tpu.testing import error_metrics
+
+M = int(os.environ.get("OZ_BENCH_M", 4096))
+NS = int(os.environ.get("OZ_BENCH_NS", 9))
+ITERS = int(os.environ.get("OZ_BENCH_ITERS", 8))
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+@partial(jax.jit, static_argnums=(4, 5))
+def chain_engine(a_hi, a_lo, b_hi, b_lo, ns, iters):
+    def body(i, carry):
+        b_hi, b_lo = carry
+        out = _gemm_core(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, 1.0, 0.0)
+        # dependency: flip one low mantissa bit of B per element
+        return b_hi, b_lo ^ (out.lo & np.uint32(1))
+
+    b_hi, b_lo = jax.lax.fori_loop(0, iters, body, (b_hi, b_lo))
+    return jnp.sum(b_lo.astype(jnp.uint32) & np.uint32(1), dtype=jnp.int32)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def chain_native(a, b, iters):
+    def body(i, b):
+        c = jnp.dot(a, b, preferred_element_type=jnp.float64)
+        # true data dependency (not DCE-able), negligible value drift
+        return b + c * 1e-30
+
+    b = jax.lax.fori_loop(0, iters, body, b)
+    return jnp.sum(b)
+
+
+def timed(fn, *args):
+    r = fn(*args)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    r = fn(*args)
+    jax.block_until_ready(r)
+    return time.perf_counter() - t0
+
+
+def main():
+    dev = jax.devices()[0]
+    log(f"device: {dev} platform: {dev.platform}")
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(M, M))
+    b = rng.uniform(size=(M, M))
+    ax = F64X.from_numpy(a)
+    bx = F64X.from_numpy(b)
+
+    # --- accuracy check (small, once) -----------------------------------
+    am, bm = a[:1024, :1024], b[:1024, :1024]
+    c = _gemm_core(F64X.from_numpy(am), F64X.from_numpy(bm), NS, 1.0, 0.0)
+    err = error_metrics(c.to_numpy().reshape(1024, 1024), am, bm)
+    log(f"accuracy @1024^3 ns={NS}: residual={err['relative_residual']:.3e} "
+        f"max_rel={err['max_relative_error']:.3e}")
+
+    # --- engine timing ----------------------------------------------------
+    t1 = timed(chain_engine, ax.hi, ax.lo, bx.hi, bx.lo, NS, ITERS)
+    t2 = timed(chain_engine, ax.hi, ax.lo, bx.hi, bx.lo, NS, 2 * ITERS)
+    per_iter = max((t2 - t1) / ITERS, 1e-9)
+    tflops = 2 * M**3 / per_iter / 1e12
+    log(f"engine: {per_iter*1e3:.3f} ms/GEMM -> {tflops:.2f} effective FP64 TFLOPS @ {M}^3 ns={NS}")
+
+    # --- native f64 baseline ---------------------------------------------
+    aj = jnp.asarray(a, dtype=jnp.float64)
+    bj = jnp.asarray(b, dtype=jnp.float64)
+    n1 = timed(chain_native, aj, bj, ITERS)
+    n2 = timed(chain_native, aj, bj, 2 * ITERS)
+    native_per_iter = max((n2 - n1) / ITERS, 1e-9)
+    native_tflops = 2 * M**3 / native_per_iter / 1e12
+    log(f"native f64: {native_per_iter*1e3:.3f} ms/GEMM -> {native_tflops:.2f} TFLOPS")
+
+    vs = tflops / native_tflops if native_tflops > 0 else 0.0
+    print(
+        json.dumps(
+            {
+                "metric": f"fp64_int8_{NS} effective FP64 TFLOPS (m=n=k={M})",
+                "value": round(tflops, 3),
+                "unit": "TFLOPS",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

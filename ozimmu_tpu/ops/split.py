@@ -39,21 +39,24 @@ from ..core.f64x import F64X, exponent_field, mantissa_parts
 ZERO_ROW_PEXP = np.int32(-(2**20))
 
 
-@partial(jax.jit, static_argnums=(1, 2), inline=True)
-def split_f64x(x: F64X, num_split: int, b: int) -> Tuple[jax.Array, jax.Array]:
-    """Split ``x`` [rows, k] into digit planes.
+def row_exponent(x: F64X) -> jax.Array:
+    """Per-row max biased exponent field (local shard).  In a k-sharded
+    distributed setting, combine across the contraction axis with
+    ``lax.pmax`` before calling :func:`split_with_row_exp`."""
+    return jnp.max(exponent_field(x), axis=1)
 
-    Returns ``(digits, pexp)``: ``digits`` int8 ``[ns, rows, k]``, ``pexp``
-    int32 ``[rows]`` with row scale ``2^pexp``.
-    """
+
+def split_with_row_exp(
+    x: F64X, e_row: jax.Array, num_split: int, b: int
+) -> Tuple[jax.Array, jax.Array]:
+    """Split against an externally supplied (possibly global) row max
+    exponent.  See :func:`split_f64x` for semantics."""
     e = exponent_field(x)  # [rows, k] int32, biased
     m_hi, m_lo = mantissa_parts(x)  # uint32: 21-bit, 32-bit words
     sign_neg = (x.hi >> np.uint32(31)).astype(jnp.int32)  # 1 if sign bit set
     # reference split.cu:159: sign_flag = (a > 0); zeros (a==0) take the
     # negative branch but have zero digits, so only the sign bit matters.
     dsign = jnp.where(sign_neg == 1, np.int32(-1), np.int32(1))
-
-    e_row = jnp.max(e, axis=1)  # [rows]
     nonzero_row = e_row > 0
     pexp = jnp.where(nonzero_row, e_row - 1022, ZERO_ROW_PEXP).astype(jnp.int32)
 
@@ -90,6 +93,16 @@ def split_f64x(x: F64X, num_split: int, b: int) -> Tuple[jax.Array, jax.Array]:
     digits = jnp.stack(planes, axis=0)
     digits = jnp.where(nonzero_row[None, :, None], digits, np.int8(0))
     return digits, pexp
+
+
+@partial(jax.jit, static_argnums=(1, 2), inline=True)
+def split_f64x(x: F64X, num_split: int, b: int) -> Tuple[jax.Array, jax.Array]:
+    """Split ``x`` [rows, k] into digit planes.
+
+    Returns ``(digits, pexp)``: ``digits`` int8 ``[ns, rows, k]``, ``pexp``
+    int32 ``[rows]`` with row scale ``2^pexp``.
+    """
+    return split_with_row_exp(x, row_exponent(x), num_split, b)
 
 
 @partial(jax.jit, static_argnums=(1, 2), inline=True)

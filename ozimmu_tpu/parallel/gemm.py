@@ -1,0 +1,144 @@
+"""Distributed 2D-sharded FP64 GEMM over a JAX device mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2: no NCCL/MPI, one CUDA
+stream); this layer is the TPU-native scale-out the north star requires
+(BASELINE.json configs[4]).  The problem decomposition makes distribution
+cheap in exactly one place, and this implementation exploits it: the int8
+slice planes are ~8x smaller than the f64 operands they encode, so all
+cross-device traffic is int8 (plus tiny int32 exponent vectors) and rides
+ICI.  No f64 word ever crosses a chip boundary.
+
+Algorithm (SUMMA-style, blocks on a (x, y) mesh):
+
+  A [m, k] sharded P(x, y)   block [m/x, k/y] per device
+  B [k, n] sharded P(x, y)   block [k/x, n/y]
+
+  1. row/col max exponents: local int32 max + ``lax.pmax`` along the
+     contraction axis (the distributed equivalent of the in-kernel
+     reduction in reference split.cu:14-67);
+  2. local mantissa split -> int8 digit planes (exact, embarrassingly
+     parallel);
+  3. ``all_gather`` A's planes along ``y`` and B's planes along ``x``
+     (int8, tiled) so every device owns full-k slabs;
+  4. local fused MXU recombination + exact epilogue -> C block P(x, y).
+
+Communication per device: ns*(m/x)*k + ns*k*(n/y) int8 bytes — for ns=9
+that is ~9/8 the bytes of ONE f64 operand gather, vs 8x that for a naive
+f64 SUMMA.  XLA overlaps the (independent) A/B gathers with the splits.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..core.f64x import F64X
+from ..ops.pack import pack_f64x
+from ..ops.recombine import acc_shift, recombine
+from ..ops.split import row_exponent, split_with_row_exp
+from ..schedule import bits_per_int8
+
+try:  # jax>=0.4.35 exposes shard_map at top level
+    from jax import shard_map as _shard_map_mod  # type: ignore
+
+    shard_map = jax.shard_map
+except Exception:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map  # type: ignore
+
+
+def _local_split_rows(x: F64X, axis: Optional[str], ns: int, b: int):
+    """Split rows of a k-sharded block against the GLOBAL row exponent."""
+    e_row = row_exponent(x)
+    if axis is not None:
+        e_row = jax.lax.pmax(e_row, axis)
+    return split_with_row_exp(x, e_row, ns, b)
+
+
+def sharded_gemm_fn(
+    mesh: Mesh,
+    num_split: int,
+    k_global: int,
+    axis_x: str = "x",
+    axis_y: str = "y",
+):
+    """Build the jittable sharded GEMM: (F64X, F64X) -> F64X.
+
+    Input A is sharded P(x, y), B is sharded P(x, y), output C is P(x, y).
+    ``k_global`` fixes the chunk-width rule (must be A's global k).
+    """
+    b = bits_per_int8(k_global)
+    if b <= 0:
+        raise ValueError(f"global k={k_global} too large for int8 emulation")
+
+    spec2d = P(axis_x, axis_y)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec2d, spec2d, spec2d, spec2d),
+        out_specs=(spec2d, spec2d),
+        check_vma=False,
+    )
+    def _kernel(a_hi, a_lo, b_hi, b_lo):
+        a = F64X(a_hi, a_lo)  # local block [m/x, k/y]
+        bm = F64X(b_hi, b_lo)  # local block [k/x, n/y]
+
+        # 1-2. global row/col exponents + local split
+        da, pa = _local_split_rows(a, axis_y, num_split, b)  # [ns, m/x, k/y]
+        bt = F64X(bm.hi.T, bm.lo.T)  # [n/y, k/x]
+        dbt, pb = _local_split_rows(bt, axis_x, num_split, b)  # [ns, n/y, k/x]
+        db = jnp.swapaxes(dbt, 1, 2)  # [ns, k/x, n/y]
+
+        # 3. int8 plane gathers along the contraction axis
+        da_full = jax.lax.all_gather(da, axis_y, axis=2, tiled=True)  # [ns, m/x, k]
+        db_full = jax.lax.all_gather(db, axis_x, axis=1, tiled=True)  # [ns, k, n/y]
+
+        # 4. local recombination + pack
+        S = recombine(da_full, db_full, num_split, b, k_global)
+        E = (pa[:, None] + pb[None, :] - acc_shift(num_split, b)).astype(jnp.int32)
+        out = pack_f64x(S, E)
+        return out.hi, out.lo
+
+    def fn(a: F64X, bm: F64X) -> F64X:
+        hi, lo = _kernel(a.hi, a.lo, bm.hi, bm.lo)
+        return F64X(hi, lo)
+
+    return fn
+
+
+def sharded_gemm(
+    a: np.ndarray,
+    b: np.ndarray,
+    num_split: int,
+    mesh: Mesh,
+    axis_x: str = "x",
+    axis_y: str = "y",
+) -> np.ndarray:
+    """Host-convenience wrapper: shard numpy operands, run, gather back."""
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    spec = NamedSharding(mesh, P(axis_x, axis_y))
+    ax = F64X.from_numpy(np.ascontiguousarray(a, np.float64))
+    bx = F64X.from_numpy(np.ascontiguousarray(b, np.float64))
+    ax = F64X(jax.device_put(ax.hi, spec), jax.device_put(ax.lo, spec))
+    bx = F64X(jax.device_put(bx.hi, spec), jax.device_put(bx.lo, spec))
+    fn = jax.jit(sharded_gemm_fn(mesh, num_split, k))
+    out = fn(ax, bx)
+    return out.to_numpy().reshape(m, n)
+
+
+def make_mesh_2d(n_devices: Optional[int] = None, axis_x: str = "x", axis_y: str = "y") -> Mesh:
+    """Largest 2D mesh (x*y = n) with x as square as possible."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    x = int(np.floor(np.sqrt(n)))
+    while n % x:
+        x -= 1
+    return Mesh(np.array(devs[:n]).reshape(x, n // x), (axis_x, axis_y))

@@ -1,0 +1,84 @@
+"""CI accuracy matrix — the reference's ``ci_test`` gate as pytest.
+
+Reference (test/main_test.cu:702-746): m,n,k in {1023,1024,1025} x opA/B in
+{N,T} x modes int8_8..int8_16 x {real, complex}, urand01 seed 0, pass iff
+relative_residual < 1e-15 — 1944 GEMMs on a real GPU.
+
+Here the same structure runs at reduced sizes by default (odd/even/padding
+coverage is what the 1023/1024/1025 triple tests; {127,128,129} exercises
+identical alignment paths in the TPU engine).  Set ``OZ_CI_FULL=1`` to run
+the verbatim 1023/1024/1025 matrix (slow; intended for TPU runs).
+"""
+
+import itertools
+import os
+
+import numpy as np
+import pytest
+
+import ozimmu_tpu as oz
+from ozimmu_tpu.testing import error_metrics, generate_input
+
+FULL = os.environ.get("OZ_CI_FULL", "0") == "1"
+SIZES = (1023, 1024, 1025) if FULL else (127, 128, 129)
+OPS = ("N", "T")
+MODES = tuple(f"fp64_int8_{ns}" for ns in range(8, 17))
+THRESHOLD = 1e-15
+
+
+def _operand(shape_logical, op, seed, complex_):
+    shape = shape_logical if op == "N" else shape_logical[::-1]
+    return generate_input("urand01", shape, seed=seed, complex_=complex_)
+
+
+def _case(op_a, op_b, m, n, k, mode, complex_):
+    a = _operand((m, k), op_a, seed=hash((m, k, op_a)) % 2**31, complex_=complex_)
+    b = _operand((k, n), op_b, seed=hash((k, n, op_b)) % 2**31, complex_=complex_)
+    c = oz.gemm(a, b, mode=mode, op_a=op_a, op_b=op_b)
+    ae = a if op_a == "N" else a.T
+    be = b if op_b == "N" else b.T
+    err = error_metrics(c, ae, be)
+    assert err["relative_residual"] < THRESHOLD, (
+        f"FAILED {mode} op{op_a}{op_b} m{m} n{n} k{k}: {err}"
+    )
+
+
+# The full cross product is 1944 cases; pytest-parametrized subsets keep
+# runtime sane while covering every axis combination at least once.
+
+SIZE_TRIPLES = list(itertools.product(SIZES, repeat=3)) if FULL else [
+    (SIZES[0], SIZES[1], SIZES[2]),
+    (SIZES[1], SIZES[0], SIZES[2]),
+    (SIZES[2], SIZES[1], SIZES[0]),
+    (SIZES[1], SIZES[1], SIZES[1]),
+    (SIZES[0], SIZES[0], SIZES[0]),
+    (SIZES[2], SIZES[2], SIZES[2]),
+]
+
+
+@pytest.mark.parametrize("m,n,k", SIZE_TRIPLES)
+@pytest.mark.parametrize("op_a,op_b", list(itertools.product(OPS, OPS)))
+def test_ci_real_ops_sizes(op_a, op_b, m, n, k):
+    _case(op_a, op_b, m, n, k, "fp64_int8_9", complex_=False)
+
+
+@pytest.mark.parametrize("mode", MODES)
+def test_ci_real_modes(mode):
+    m, n, k = SIZES[0], SIZES[2], SIZES[1]
+    _case("N", "T", m, n, k, mode, complex_=False)
+
+
+@pytest.mark.parametrize("mode", MODES[::2])
+@pytest.mark.parametrize("op_a,op_b", [("N", "N"), ("T", "T")])
+def test_ci_complex(mode, op_a, op_b):
+    m, n, k = SIZES[1], SIZES[0], SIZES[2]
+    _case(op_a, op_b, m, n, k, mode, complex_=True)
+
+
+@pytest.mark.skipif(not FULL, reason="full 1944-case matrix only with OZ_CI_FULL=1")
+@pytest.mark.parametrize("mode", MODES)
+@pytest.mark.parametrize("m,n,k", SIZE_TRIPLES)
+@pytest.mark.parametrize("op_a,op_b", list(itertools.product(OPS, OPS)))
+@pytest.mark.parametrize("complex_", [False, True])
+def test_ci_full_matrix(mode, m, n, k, op_a, op_b, complex_):
+    _case(op_a, op_b, m, n, k, mode, complex_)

@@ -1,0 +1,75 @@
+"""Distributed GEMM tests on the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+
+from ozimmu_tpu.parallel.gemm import make_mesh_2d, sharded_gemm, sharded_gemm_fn
+from ozimmu_tpu.testing import error_metrics, generate_input
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    return make_mesh_2d(8)
+
+
+class TestShardedGemm:
+    def test_mesh_shape(self, mesh):
+        assert mesh.devices.shape in ((2, 4), (4, 2))
+
+    def test_matches_single_device(self, mesh):
+        a = generate_input("urand01", (64, 128), seed=0)
+        b = generate_input("urand01", (128, 96), seed=1)
+        c = sharded_gemm(a, b, 9, mesh)
+        err = error_metrics(c, a, b)
+        assert err["relative_residual"] < 1e-15
+
+    def test_bitwise_same_as_local_engine(self, mesh):
+        """Distribution must not change a single bit of the result."""
+        import ozimmu_tpu as oz
+
+        a = generate_input("normal01", (32, 64), seed=2)
+        b = generate_input("normal01", (64, 32), seed=3)
+        c_dist = sharded_gemm(a, b, 9, mesh)
+        c_local = oz.gemm(a, b, mode="fp64_int8_9")
+        np.testing.assert_array_equal(
+            c_dist.view(np.uint64), c_local.view(np.uint64)
+        )
+
+    def test_exponent_spread_distributed(self, mesh):
+        a = generate_input("exp_rand-3", (64, 64), seed=4)
+        b = generate_input("exp_rand-3", (64, 64), seed=5)
+        c = sharded_gemm(a, b, 14, mesh)
+        err = error_metrics(c, a, b)
+        assert err["relative_residual"] < 1e-15
+
+    def test_uneven_logical_dims(self, mesh):
+        # dims divisible by mesh but not square
+        a = generate_input("urand01", (16, 80), seed=6)
+        b = generate_input("urand01", (80, 24), seed=7)
+        c = sharded_gemm(a, b, 8, mesh)
+        assert error_metrics(c, a, b)["relative_residual"] < 1e-15
+
+    def test_jitted_fn_reusable(self, mesh):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from ozimmu_tpu.core.f64x import F64X
+
+        a = generate_input("urand01", (32, 64), seed=8)
+        b = generate_input("urand01", (64, 32), seed=9)
+        spec = NamedSharding(mesh, P("x", "y"))
+        fn = jax.jit(sharded_gemm_fn(mesh, 9, 64))
+        ax = F64X.from_numpy(a)
+        bx = F64X.from_numpy(b)
+        ax = F64X(jax.device_put(ax.hi, spec), jax.device_put(ax.lo, spec))
+        bx = F64X(jax.device_put(bx.hi, spec), jax.device_put(bx.lo, spec))
+        out1 = fn(ax, bx)
+        out2 = fn(ax, bx)
+        np.testing.assert_array_equal(
+            out1.to_numpy(), out2.to_numpy()
+        )
+        np.testing.assert_allclose(
+            out1.to_numpy().reshape(32, 32), a @ b, rtol=1e-14
+        )
