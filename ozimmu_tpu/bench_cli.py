@@ -1,0 +1,147 @@
+"""Benchmark/evaluation CLI — the reference ``main.test`` harness surface.
+
+Reproduces the reference CLI semantics (test/main_test.cu:550-568) and its
+CSV schema (main_test.cu:143-151)::
+
+    python -m ozimmu_tpu.bench_cli urand01 dgemm fp64_int8_9 seq 1024 4096 1024
+    python -m ozimmu_tpu.bench_cli exp_rand-2 zgemm fp64_int8_8,fp64_int8_12 \
+        exp2 1024 8192 2 --test-count 10
+    python -m ozimmu_tpu.bench_cli ci_test
+
+CSV columns: device,gemm,input,mode,opA,opB,m,n,k,residual,max_relative,tflops
+(``gpu`` column renamed ``device``; TFLOPS is effective 2mnk/t, x4 complex
+— main_test.cu:134-141.)
+"""
+
+from __future__ import annotations
+
+import argparse
+import itertools
+import sys
+import time
+
+import numpy as np
+
+
+def _device_name() -> str:
+    import jax
+
+    d = jax.devices()[0]
+    return str(d).replace(",", ";")
+
+
+def _run_case(
+    gemm_kind: str,
+    input_mode: str,
+    mode: str,
+    op_a: str,
+    op_b: str,
+    m: int,
+    n: int,
+    k: int,
+    test_count: int,
+    error_threshold: float = 0.0,
+) -> int:
+    import jax
+
+    import ozimmu_tpu as oz
+    from ozimmu_tpu.testing import error_metrics, generate_input
+
+    complex_ = gemm_kind == "zgemm"
+    a = generate_input(input_mode, (m, k) if op_a == "N" else (k, m), seed=0, complex_=complex_)
+    b = generate_input(input_mode, (k, n) if op_b == "N" else (n, k), seed=1, complex_=complex_)
+
+    c = oz.gemm(a, b, mode=mode, op_a=op_a, op_b=op_b)
+    ae = a if op_a == "N" else a.T
+    be = b if op_b == "N" else b.T
+    err = error_metrics(c, ae, be)
+
+    t0 = time.perf_counter()
+    for _ in range(test_count):
+        out = oz.gemm(a, b, mode=mode, op_a=op_a, op_b=op_b)
+    jax.block_until_ready(jax.numpy.zeros(()))
+    dt = (time.perf_counter() - t0) / test_count
+    tflops = 2 * m * n * k / dt * (4 if complex_ else 1) / 1e12
+
+    print(
+        f"{_device_name()},{'Z' if complex_ else 'D'},{input_mode},{mode},"
+        f"{op_a},{op_b},{m},{n},{k},{err['relative_residual']:e},"
+        f"{err['max_relative_error']:e},{tflops:e}",
+        flush=True,
+    )
+    if error_threshold and err["relative_residual"] >= error_threshold:
+        print("^^^ FAILED ^^^^", flush=True)
+        return 1
+    return 0
+
+
+def _size_list(kind: str, start: int, end: int, interval: int):
+    if kind == "seq":
+        return list(range(start, end + 1, interval))
+    if kind == "exp2":
+        out = []
+        v = start
+        while v <= end:
+            out.append(v)
+            v *= interval if interval > 1 else 2
+        return out
+    raise ValueError(f"unknown size mode {kind}")
+
+
+def run_ci_test(sizes=(1023, 1024, 1025)) -> int:
+    """The reference 1944-case gate (main_test.cu:702-746)."""
+    modes = [f"fp64_int8_{ns}" for ns in range(8, 17)]
+    num_errors = 0
+    total = 0
+    for kind in ("dgemm", "zgemm"):
+        for op_a, op_b in itertools.product("NT", "NT"):
+            for m in sizes:
+                for n in sizes:
+                    for k in sizes:
+                        for mode in modes:
+                            total += 1
+                            num_errors += _run_case(
+                                kind, "urand01", mode, op_a, op_b, m, n, k,
+                                test_count=1, error_threshold=1e-15,
+                            )
+    print(f"{total - num_errors:5d} / {total:5d} PASSED", flush=True)
+    return 1 if num_errors else 0
+
+
+def main(argv=None) -> int:
+    import jax
+
+    jax.config.update("jax_enable_x64", True)
+
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("input", help="urand01|normal01|exp_rand-<phi>|ci_test")
+    p.add_argument("gemm", nargs="?", default="dgemm", choices=["dgemm", "zgemm"])
+    p.add_argument("modes", nargs="?", default="fp64_int8_9",
+                   help="comma-separated compute modes")
+    p.add_argument("size_mode", nargs="?", default="seq", choices=["seq", "exp2"])
+    p.add_argument("start", nargs="?", type=int, default=1024)
+    p.add_argument("end", nargs="?", type=int, default=1024)
+    p.add_argument("interval", nargs="?", type=int, default=1024)
+    p.add_argument("--test-count", type=int, default=10)
+    p.add_argument("--ops", default="NN", help="pairs like NN,NT,TN,TT")
+    p.add_argument("--ci-sizes", default="1023,1024,1025")
+    args = p.parse_args(argv)
+
+    if args.input == "ci_test":
+        sizes = tuple(int(s) for s in args.ci_sizes.split(","))
+        return run_ci_test(sizes)
+
+    print("device,gemm,input,mode,opA,opB,m,n,k,residual,max_relative,tflops")
+    rc = 0
+    for size in _size_list(args.size_mode, args.start, args.end, args.interval):
+        for mode in args.modes.split(","):
+            for ops in args.ops.split(","):
+                rc |= _run_case(
+                    args.gemm, args.input, mode, ops[0], ops[1],
+                    size, size, size, args.test_count,
+                )
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -44,6 +44,19 @@ def _apply_op_f64x(x: F64X, op: Operation) -> F64X:
     return x if op is Operation.N else x.transpose()
 
 
+def _require_x64() -> None:
+    """The engine carries int64 in the pack kernel (emulated as int32
+    pairs on TPU); JAX must run with x64 enabled or the compiler silently
+    truncates to int32 and corrupts results."""
+    import jax as _jax
+
+    if not _jax.config.jax_enable_x64:
+        raise RuntimeError(
+            "ozimmu_tpu requires jax_enable_x64: call "
+            'jax.config.update("jax_enable_x64", True) before using the engine'
+        )
+
+
 def _check_k_supported(k: int) -> None:
     if bits_per_int8(k) <= 0:
         raise ValueError(
@@ -161,6 +174,7 @@ def gemm(
     Returns the same container kind as ``a`` (numpy -> numpy, F64X -> F64X).
     Complex (numpy complex128) inputs run the 4-pass complex engine.
     """
+    _require_x64()
     handle = handle or default_handle()
     mode_r = handle.resolve_mode(mode)
     op_a = Operation.parse(op_a)

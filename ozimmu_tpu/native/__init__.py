@@ -1,0 +1,131 @@
+"""Native (C++/OpenMP) host components, loaded via ctypes.
+
+Builds ``liboz_oracle.so`` from ``oracle.cpp`` on first use (cached next
+to the source; rebuilds when the source is newer).  Falls back cleanly to
+numpy implementations when no C++ toolchain is available — every entry
+point here has a pure-Python twin in :mod:`ozimmu_tpu.testing` /
+:mod:`ozimmu_tpu.hostref`.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from typing import Dict, Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "oracle.cpp")
+_LOCK = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_build_failed = False
+
+
+def _so_path() -> str:
+    cache = os.environ.get("OZIMMU_NATIVE_CACHE", _HERE)
+    return os.path.join(cache, "liboz_oracle.so")
+
+
+def _build() -> Optional[str]:
+    so = _so_path()
+    try:
+        if os.path.exists(so) and os.path.getmtime(so) >= os.path.getmtime(_SRC):
+            return so
+        cmd = [
+            "g++", "-O3", "-march=native", "-fopenmp", "-shared", "-fPIC",
+            "-std=c++17", _SRC, "-o", so,
+        ]
+        subprocess.run(cmd, check=True, capture_output=True)
+        return so
+    except Exception:
+        return None
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded native library, or None if unavailable."""
+    global _lib, _build_failed
+    if _lib is not None or _build_failed:
+        return _lib
+    with _LOCK:
+        if _lib is not None or _build_failed:
+            return _lib
+        so = _build()
+        if so is None:
+            _build_failed = True
+            return None
+        lib = ctypes.CDLL(so)
+        i64, i32, f64p, i8p, i32p = (
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_double),
+            ctypes.POINTER(ctypes.c_int8),
+            ctypes.POINTER(ctypes.c_int32),
+        )
+        lib.oz_error_metrics_d.argtypes = [i64, i64, i64, f64p, f64p, f64p, f64p]
+        lib.oz_error_metrics_z.argtypes = [i64, i64, i64, f64p, f64p, f64p, f64p]
+        lib.oz_ref_gemm_d.argtypes = [i64, i64, i64, f64p, f64p, f64p]
+        lib.oz_split_fp64.argtypes = [i64, i64, f64p, i32, i32, i8p, i32p]
+        _lib = lib
+        return _lib
+
+
+def _f64p(x: np.ndarray):
+    return x.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def error_metrics_native(
+    c: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> Optional[Dict[str, float]]:
+    """Streamed long-double error metrics; None if the lib is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    m, k = a.shape
+    n = b.shape[1]
+    out = np.zeros(2, dtype=np.float64)
+    if np.iscomplexobj(a):
+        ac = np.ascontiguousarray(a, dtype=np.complex128).view(np.float64)
+        bc = np.ascontiguousarray(b, dtype=np.complex128).view(np.float64)
+        cc = np.ascontiguousarray(c, dtype=np.complex128).view(np.float64)
+        lib.oz_error_metrics_z(m, n, k, _f64p(ac), _f64p(bc), _f64p(cc), _f64p(out))
+    else:
+        ac = np.ascontiguousarray(a, dtype=np.float64)
+        bc = np.ascontiguousarray(b, dtype=np.float64)
+        cc = np.ascontiguousarray(c, dtype=np.float64)
+        lib.oz_error_metrics_d(m, n, k, _f64p(ac), _f64p(bc), _f64p(cc), _f64p(out))
+    return {"relative_residual": float(out[0]), "max_relative_error": float(out[1])}
+
+
+def ref_gemm_native(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    lib = get_lib()
+    if lib is None:
+        return None
+    m, k = a.shape
+    n = b.shape[1]
+    c = np.zeros((m, n), dtype=np.float64)
+    lib.oz_ref_gemm_d(
+        m, n, k,
+        _f64p(np.ascontiguousarray(a, np.float64)),
+        _f64p(np.ascontiguousarray(b, np.float64)),
+        _f64p(c),
+    )
+    return c
+
+
+def split_fp64_native(x: np.ndarray, ns: int, b: int):
+    lib = get_lib()
+    if lib is None:
+        return None
+    rows, k = x.shape
+    digits = np.empty((ns, rows, k), dtype=np.int8)
+    pexp = np.empty(rows, dtype=np.int32)
+    xc = np.ascontiguousarray(x, np.float64)
+    lib.oz_split_fp64(
+        rows, k, _f64p(xc), ns, b,
+        digits.ctypes.data_as(ctypes.POINTER(ctypes.c_int8)),
+        pexp.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+    )
+    return digits, pexp

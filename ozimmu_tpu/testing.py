@@ -54,8 +54,16 @@ def error_metrics(
     c: np.ndarray, a: np.ndarray, b: np.ndarray, c_ref=None
 ) -> Dict[str, float]:
     """relative_residual and max_relative_error vs a higher-precision ref
-    (reference test/main_test.cu:101-117)."""
+    (reference test/main_test.cu:101-117).
+
+    Uses the native OpenMP long-double oracle when available (streamed —
+    no reference buffer), falling back to numpy longdouble."""
     if c_ref is None:
+        from . import native
+
+        res = native.error_metrics_native(np.asarray(c), np.asarray(a), np.asarray(b))
+        if res is not None:
+            return res
         c_ref = reference_gemm(a, b)
     diff = c.astype(c_ref.dtype) - c_ref
     denom = np.linalg.norm(c_ref.astype(np.complex128 if np.iscomplexobj(c_ref) else np.float64))
