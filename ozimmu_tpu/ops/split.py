@@ -39,19 +39,25 @@ from ..core.f64x import F64X, exponent_field, mantissa_parts
 ZERO_ROW_PEXP = np.int32(-(2**20))
 
 
-def row_exponent(x: F64X) -> jax.Array:
-    """Per-row max biased exponent field (local shard).  In a k-sharded
-    distributed setting, combine across the contraction axis with
+def row_exponent(x: F64X, axis: int = 1) -> jax.Array:
+    """Max biased exponent field along the contraction axis of the local
+    shard.  In a k-sharded distributed setting, combine across shards with
     ``lax.pmax`` before calling :func:`split_with_row_exp`."""
-    return jnp.max(exponent_field(x), axis=1)
+    return jnp.max(exponent_field(x), axis=axis)
 
 
 def split_with_row_exp(
-    x: F64X, e_row: jax.Array, num_split: int, b: int
+    x: F64X, e_row: jax.Array, num_split: int, b: int, axis: int = 1
 ) -> Tuple[jax.Array, jax.Array]:
-    """Split against an externally supplied (possibly global) row max
-    exponent.  See :func:`split_f64x` for semantics."""
-    e = exponent_field(x)  # [rows, k] int32, biased
+    """Split against an externally supplied (possibly global) max exponent
+    along ``axis`` (the contraction axis).  See :func:`split_f64x`.
+
+    ``axis=1``: x is [rows, k], one scale per row (the A operand).
+    ``axis=0``: x is [k, cols], one scale per column (the B operand) —
+    digits come out in the matrix's natural layout, avoiding the large
+    int8 plane transposes a row-only kernel would force.
+    """
+    e = exponent_field(x)  # int32, biased
     m_hi, m_lo = mantissa_parts(x)  # uint32: 21-bit, 32-bit words
     sign_neg = (x.hi >> np.uint32(31)).astype(jnp.int32)  # 1 if sign bit set
     # reference split.cu:159: sign_flag = (a > 0); zeros (a==0) take the
@@ -60,7 +66,8 @@ def split_with_row_exp(
     nonzero_row = e_row > 0
     pexp = jnp.where(nonzero_row, e_row - 1022, ZERO_ROW_PEXP).astype(jnp.int32)
 
-    delta = (e_row + 1)[:, None] - e  # [rows, k], >= 1 where row nonzero
+    bcast = (slice(None), None) if axis == 1 else (None, slice(None))
+    delta = (e_row + 1)[bcast] - e  # >= 1 where the scale group is nonzero
     mask = np.uint32((1 << b) - 1)
 
     planes = []
@@ -91,7 +98,7 @@ def split_with_row_exp(
         planes.append(d.astype(jnp.int8))
 
     digits = jnp.stack(planes, axis=0)
-    digits = jnp.where(nonzero_row[None, :, None], digits, np.int8(0))
+    digits = jnp.where(nonzero_row[(None,) + bcast], digits, np.int8(0))
     return digits, pexp
 
 
@@ -102,16 +109,16 @@ def split_f64x(x: F64X, num_split: int, b: int) -> Tuple[jax.Array, jax.Array]:
     Returns ``(digits, pexp)``: ``digits`` int8 ``[ns, rows, k]``, ``pexp``
     int32 ``[rows]`` with row scale ``2^pexp``.
     """
-    return split_with_row_exp(x, row_exponent(x), num_split, b)
+    return split_with_row_exp(x, row_exponent(x, 1), num_split, b, axis=1)
 
 
 @partial(jax.jit, static_argnums=(1, 2), inline=True)
 def split_f64x_cols(x: F64X, num_split: int, b: int) -> Tuple[jax.Array, jax.Array]:
     """Split ``x`` [k, cols] along columns (for the B operand).
 
-    Equivalent to splitting ``x.T`` row-wise and transposing the planes
-    back (reference split.cu:277-282 swaps m/n and the op instead).
-    Returns digits int8 ``[ns, k, cols]`` and pexp int32 ``[cols]``.
+    Same semantics as splitting ``x.T`` row-wise (reference
+    split.cu:277-282 swaps m/n and the op), but computed directly in the
+    [k, cols] layout — no plane transposes, which are expensive relayouts
+    on TPU.  Returns digits int8 ``[ns, k, cols]`` and pexp int32 [cols].
     """
-    dt, p = split_f64x(F64X(x.hi.T, x.lo.T), num_split, b)
-    return jnp.swapaxes(dt, 1, 2), p
+    return split_with_row_exp(x, row_exponent(x, 0), num_split, b, axis=0)

@@ -51,12 +51,13 @@ except Exception:  # pragma: no cover
     from jax.experimental.shard_map import shard_map  # type: ignore
 
 
-def _local_split_rows(x: F64X, axis: Optional[str], ns: int, b: int):
-    """Split rows of a k-sharded block against the GLOBAL row exponent."""
-    e_row = row_exponent(x)
-    if axis is not None:
-        e_row = jax.lax.pmax(e_row, axis)
-    return split_with_row_exp(x, e_row, ns, b)
+def _local_split(x: F64X, mesh_axis: Optional[str], ns: int, b: int, axis: int):
+    """Split a k-sharded block against the GLOBAL max exponent along the
+    contraction axis (``axis`` of the local block)."""
+    e_row = row_exponent(x, axis)
+    if mesh_axis is not None:
+        e_row = jax.lax.pmax(e_row, mesh_axis)
+    return split_with_row_exp(x, e_row, ns, b, axis=axis)
 
 
 def sharded_gemm_fn(
@@ -88,11 +89,10 @@ def sharded_gemm_fn(
         a = F64X(a_hi, a_lo)  # local block [m/x, k/y]
         bm = F64X(b_hi, b_lo)  # local block [k/x, n/y]
 
-        # 1-2. global row/col exponents + local split
-        da, pa = _local_split_rows(a, axis_y, num_split, b)  # [ns, m/x, k/y]
-        bt = F64X(bm.hi.T, bm.lo.T)  # [n/y, k/x]
-        dbt, pb = _local_split_rows(bt, axis_x, num_split, b)  # [ns, n/y, k/x]
-        db = jnp.swapaxes(dbt, 1, 2)  # [ns, k/x, n/y]
+        # 1-2. global row/col exponents + local split (natural layouts,
+        # no plane transposes)
+        da, pa = _local_split(a, axis_y, num_split, b, axis=1)  # [ns, m/x, k/y]
+        db, pb = _local_split(bm, axis_x, num_split, b, axis=0)  # [ns, k/x, n/y]
 
         # 3. int8 plane gathers along the contraction axis
         da_full = jax.lax.all_gather(da, axis_y, axis=2, tiled=True)  # [ns, m/x, k]
