@@ -23,7 +23,7 @@ import numpy as np
 from ..ops import tf32x3
 from ..ops.mantissa_loss import auto_mode_select as _auto_mode_select_core
 from ..ops.pack import aligned_add, pack_f64x, scalar_triple, unpack_f64x
-from ..ops.recombine import acc_shift, recombine
+from ..ops.recombine import acc_shift, recombine_auto
 from ..ops.split import split_f64x, split_f64x_cols
 from ..schedule import bits_per_int8
 from ..types import ComputeMode, ComputeModeLike, ElementKind, Operation, OperationLike
@@ -105,7 +105,7 @@ def _sgemm_core(a: F64X, b: F64X) -> F64X:
 
 _split_rows = jax.jit(split_f64x, static_argnums=(1, 2))
 _split_cols = jax.jit(split_f64x_cols, static_argnums=(1, 2))
-_recombine_j = jax.jit(recombine, static_argnums=(2, 3, 4))
+_recombine_j = jax.jit(recombine_auto, static_argnums=(2, 3, 4))
 
 
 @partial(jax.jit, static_argnums=(3, 4, 5, 6))

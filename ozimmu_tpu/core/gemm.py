@@ -33,7 +33,7 @@ from ..schedule import bits_per_int8
 from ..core.f64x import F64X
 from ..ops import tf32x3
 from ..ops.pack import aligned_add, pack_f64x, scalar_triple, unpack_f64x
-from ..ops.recombine import acc_shift, recombine
+from ..ops.recombine import acc_shift, recombine_auto
 from ..ops.split import split_f64x, split_f64x_cols
 
 
@@ -52,7 +52,7 @@ def _gemm_core(
     bb = bits_per_int8(k)
     da, pa = split_f64x(a, num_split, bb)
     db, pb = split_f64x_cols(b, num_split, bb)
-    S = recombine(da, db, num_split, bb, k)
+    S = recombine_auto(da, db, num_split, bb, k)
     E = (pa[:, None] + pb[None, :] - acc_shift(num_split, bb)).astype(jnp.int32)
 
     if alpha != 1.0:
@@ -155,7 +155,7 @@ def _zgemm_core(
     for ap, bp in ((1, 1), (0, 0), (1, 0), (0, 1)):
         da, pa = a_planes[ap]
         db, pb = b_planes[bp]
-        S = recombine(da, db, num_split, bb, k)
+        S = recombine_auto(da, db, num_split, bb, k)
         E = (pa[:, None] + pb[None, :] - shift).astype(jnp.int32)
         if ap == 0 and bp == 0:
             fold = alpha

@@ -63,6 +63,35 @@ def _group_dot(da: jax.Array, db: jax.Array, pairs) -> jax.Array:
     )
 
 
+def use_pallas_engine(m: int, n: int, k: int) -> bool:
+    """Engine selection: OZIMMU_ENGINE = pallas | xla | auto (default).
+
+    Auto picks the fused Pallas kernel on TPU backends for shapes large
+    enough to tile (the XLA path serves tiny shapes and non-TPU backends).
+    Read at trace time.
+    """
+    import os
+
+    mode = os.environ.get("OZIMMU_ENGINE", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() == "tpu" and min(m, n, k) >= 128
+
+
+def recombine_auto(
+    da: jax.Array, db: jax.Array, num_split: int, b: int, k: int
+) -> Triple:
+    """Dispatch between the fused Pallas kernel and the XLA-op path."""
+    m, n = da.shape[1], db.shape[2]
+    if use_pallas_engine(m, n, k):
+        from .recombine_pallas import recombine_pallas
+
+        return recombine_pallas(da, db, num_split, b, k)
+    return recombine(da, db, num_split, b, k)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4), inline=True)
 def recombine(
     da: jax.Array,

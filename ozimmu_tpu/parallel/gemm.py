@@ -39,7 +39,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.f64x import F64X
 from ..ops.pack import pack_f64x
-from ..ops.recombine import acc_shift, recombine
+from ..ops.recombine import acc_shift, recombine_auto
 from ..ops.split import row_exponent, split_with_row_exp
 from ..schedule import bits_per_int8
 
@@ -99,7 +99,7 @@ def sharded_gemm_fn(
         db_full = jax.lax.all_gather(db, axis_x, axis=1, tiled=True)  # [ns, k, n/y]
 
         # 4. local recombination + pack
-        S = recombine(da_full, db_full, num_split, b, k_global)
+        S = recombine_auto(da_full, db_full, num_split, b, k_global)
         E = (pa[:, None] + pb[None, :] - acc_shift(num_split, b)).astype(jnp.int32)
         out = pack_f64x(S, E)
         return out.hi, out.lo
