@@ -108,10 +108,89 @@ def run_ci_test(sizes=(1023, 1024, 1025)) -> int:
     return 1 if num_errors else 0
 
 
+def run_matfile(path_a: str, path_b: str, modes, test_count: int) -> int:
+    """Real-matrix replay (reference matfile mode, main_test.cu:273-406):
+    load A and B from .npy files and evaluate each mode."""
+    import ozimmu_tpu as oz
+    from ozimmu_tpu.testing import error_metrics
+
+    a = np.load(path_a)
+    b = np.load(path_b)
+    m, k = a.shape
+    n = b.shape[1]
+    complex_ = np.iscomplexobj(a)
+    print("device,gemm,input,mode,opA,opB,m,n,k,residual,max_relative,tflops")
+    for mode in modes:
+        t0 = time.perf_counter()
+        for _ in range(test_count):
+            c = oz.gemm(a, b, mode=mode)
+        dt = (time.perf_counter() - t0) / test_count
+        err = error_metrics(c, a, b)
+        tflops = 2 * m * n * k / dt * (4 if complex_ else 1) / 1e12
+        print(
+            f"{_device_name()},{'Z' if complex_ else 'D'},matfile,{mode},N,N,"
+            f"{m},{n},{k},{err['relative_residual']:e},"
+            f"{err['max_relative_error']:e},{tflops:e}",
+            flush=True,
+        )
+    return 0
+
+
+def run_power(gemm_kind: str, mode: str, size: int, min_seconds: float) -> int:
+    """Sustained-throughput loop (reference power mode,
+    main_test.cu:408-512: >=10 s NVML-sampled loops reporting TFLOPS, avg
+    W and GFLOPS/W).  TPU device power counters are not exposed through
+    JAX/libtpu on this platform, so watts are reported as n/a and the
+    sustained effective TFLOPS is the efficiency surface."""
+    import jax
+
+    import ozimmu_tpu as oz
+    from ozimmu_tpu.testing import generate_input
+
+    complex_ = gemm_kind == "zgemm"
+    a = generate_input("urand01", (size, size), seed=0, complex_=complex_)
+    b = generate_input("urand01", (size, size), seed=1, complex_=complex_)
+    oz.gemm(a, b, mode=mode)  # warm / compile
+    n_iter = 0
+    t0 = time.perf_counter()
+    while time.perf_counter() - t0 < min_seconds:
+        oz.gemm(a, b, mode=mode)
+        n_iter += 1
+    dt = (time.perf_counter() - t0) / max(n_iter, 1)
+    tflops = 2 * size**3 / dt * (4 if complex_ else 1) / 1e12
+    print(
+        f"power,{_device_name()},{mode},m=n=k={size},iters={n_iter},"
+        f"avg_time={dt:.4f}s,tflops={tflops:.3f},watts=n/a,gflops_per_w=n/a",
+        flush=True,
+    )
+    return 0
+
+
 def main(argv=None) -> int:
     import jax
 
     jax.config.update("jax_enable_x64", True)
+
+    if argv is None:
+        argv = sys.argv[1:]
+    if argv and argv[0] == "matfile":
+        q = argparse.ArgumentParser()
+        q.add_argument("cmd")
+        q.add_argument("a_npy")
+        q.add_argument("b_npy")
+        q.add_argument("modes", nargs="?", default="fp64_int8_9")
+        q.add_argument("--test-count", type=int, default=1)
+        ar = q.parse_args(argv)
+        return run_matfile(ar.a_npy, ar.b_npy, ar.modes.split(","), ar.test_count)
+    if argv and argv[0] == "power":
+        q = argparse.ArgumentParser()
+        q.add_argument("cmd")
+        q.add_argument("gemm", nargs="?", default="dgemm", choices=["dgemm", "zgemm"])
+        q.add_argument("mode", nargs="?", default="fp64_int8_9")
+        q.add_argument("size", nargs="?", type=int, default=4096)
+        q.add_argument("--min-seconds", type=float, default=10.0)
+        ar = q.parse_args(argv)
+        return run_power(ar.gemm, ar.mode, ar.size, ar.min_seconds)
 
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("input", help="urand01|normal01|exp_rand-<phi>|ci_test")
