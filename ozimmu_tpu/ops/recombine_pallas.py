@@ -9,18 +9,24 @@ keeps everything on-chip:
 
   grid (m/BM, n/BN, k/BK), k innermost ("arbitrary" = sequential):
     - per step, DMA pipelines bring in A digits [ns, BM, BK] and
-      B digits [ns, BK, BK->BN];
-    - for every scheduled t-group: D_t = sum of pair products on the MXU
-      (int32, provably overflow-free per the schedule's chunk cap —
-      a fortiori for a BK-slab of the contraction);
-    - D_t is split exactly into two f32 terms (16-bit halves) and folded
-      into a triple-f32 accumulator held in VMEM scratch;
-    - the final k step renormalizes and emits the triple [3, BM, BN].
+      B digits [ns, BK, BN];
+    - every scheduled t-group's pair products run on the MXU and are
+      accumulated into a per-group int32 VMEM accumulator.  This is
+      provably overflow-free: the schedule's chunk cap
+      (schedule.max_safe_pairs_per_group) bounds the group's magnitude
+      over the FULL contraction length, a fortiori over any prefix of
+      k-steps;
+    - only the final k step pays floating-point cost: each group's int32
+      total is split exactly into two f32 terms (16-bit halves) and
+      folded into a triple-f32 accumulator, renormalized, and emitted as
+      [3, BM, BN].
 
-Numerics: per-step folding adds (k/BK)*ns*2 exact terms per element in a
-fixed order — deterministic, with accumulated error < 2^-60 relative,
-far below the f64 target (see tests/test_recombine_pallas.py for the
-cross-check against the XLA path and the hostref oracle).
+Keeping the accumulation in int32 until the end matters twice over: the
+per-step VPU work drops from ~2*G triple-float folds (~13 f32 ops each)
+to G int32 adds — without it the fold costs as much VPU time as the MXU
+matmuls cost MXU time — and the result becomes bit-identical to the XLA
+path (ops/recombine.py), which computes exactly the same int32 group
+totals and folds them in the same order.
 
 x64 note: Mosaic on this toolchain cannot legalize the int64 values that
 x64-mode tracing injects into grid index maps, so the pallas_call is
@@ -56,40 +62,74 @@ def _make_kernel(num_split: int, b: int, k_true: int):
     groups = group_schedule(num_split, k_true, b)
     shift = acc_shift(num_split, b)
 
-    def kernel(da_ref, db_ref, o0_ref, o1_ref, o2_ref, a0, a1, a2):
+    def kernel(da_ref, db_ref, o0_ref, o1_ref, o2_ref, *gacc):
         kk = pl.program_id(2)
 
         @pl.when(kk == 0)
         def _():
-            a0[:] = jnp.zeros_like(a0)
-            a1[:] = jnp.zeros_like(a1)
-            a2[:] = jnp.zeros_like(a2)
+            for gref in gacc:
+                gref[:] = jnp.zeros_like(gref)
 
-        acc = (a0[:], a1[:], a2[:])
-        for g in groups:
-            d = None
+        for g, gref in zip(groups, gacc):
+            d = gref[:]
             for (i, j) in g.pairs:
-                p = jax.lax.dot_general(
+                d = d + jax.lax.dot_general(
                     da_ref[i - 1], db_ref[j - 1],
                     (((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.int32,
                 )
-                d = p if d is None else d + p
-            w = g.weight_log2(b) + shift
-            hi = jax.lax.shift_right_arithmetic(d, 16)
-            lo = d - jax.lax.shift_left(hi, 16)
-            acc = tf32x3.add_term(acc, hi.astype(jnp.float32) * np.float32(2.0 ** (w + 16)))
-            acc = tf32x3.add_term(acc, lo.astype(jnp.float32) * np.float32(2.0**w))
-        a0[:], a1[:], a2[:] = acc
+            gref[:] = d
 
         @pl.when(kk == pl.num_programs(2) - 1)
         def _():
-            t = tf32x3.renorm((a0[:], a1[:], a2[:]))
+            acc = (
+                jnp.zeros_like(o0_ref),
+                jnp.zeros_like(o0_ref),
+                jnp.zeros_like(o0_ref),
+            )
+            for g, gref in zip(groups, gacc):
+                d = gref[:]
+                w = g.weight_log2(b) + shift
+                hi = jax.lax.shift_right_arithmetic(d, 16)
+                lo = d - jax.lax.shift_left(hi, 16)
+                acc = tf32x3.add_term(
+                    acc, hi.astype(jnp.float32) * np.float32(2.0 ** (w + 16))
+                )
+                acc = tf32x3.add_term(acc, lo.astype(jnp.float32) * np.float32(2.0**w))
+            t = tf32x3.renorm(acc)
             o0_ref[:] = t[0]
             o1_ref[:] = t[1]
             o2_ref[:] = t[2]
 
-    return kernel
+    return kernel, len(groups)
+
+
+def _pick_blocks(ns: int, n_groups: int, m: int, n: int, k: int,
+                 block_m: int, block_n: int, block_k: int):
+    """Shrink the k block until the double-buffered digit slabs, the
+    per-group int32 accumulators, and the output triple fit in ~12 MiB of
+    the core's ~16 MiB VMEM."""
+    import os
+
+    bm = min(block_m, _round_up(m, 128))
+    bn = min(block_n, _round_up(n, 128))
+    bk = min(block_k, _round_up(k, 128))
+    budget = int(
+        float(os.environ.get("OZIMMU_VMEM_BUDGET_MB", 12)) * 1024 * 1024
+    )
+    while True:
+        slabs = 2 * ns * bk * (bm + bn)  # double-buffered int8 in-blocks
+        accs = 4 * (n_groups + 3) * bm * bn  # int32 group accs + f32 triple
+        if slabs + accs <= budget or (bk <= 128 and bm <= 128 and bn <= 128):
+            return bm, bn, bk
+        # shrink while preserving the (8, 128) tile granule
+        if bk > 128:
+            bk = max(128, (bk // 2 // 128) * 128)
+        elif max(bm, bn) > 128:
+            if bm >= bn:
+                bm = max(128, (bm // 2 // 128) * 128)
+            else:
+                bn = max(128, (bn // 2 // 128) * 128)
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8), inline=True)
@@ -101,19 +141,19 @@ def recombine_pallas(
     k: int,
     block_m: int = 256,
     block_n: int = 256,
-    block_k: int = 512,  # [ns,256,1024] int8 blocks double-buffered blow VMEM
+    block_k: int = 1024,
     interpret: bool = False,
 ) -> Triple:
     """Drop-in fused replacement for :func:`ops.recombine.recombine`.
 
     ``da``: int8 [ns, m, k]; ``db``: int8 [ns, k, n].  Returns the same
-    2^ACC_SHIFT-scaled triple-f32 accumulator [m, n].
+    2^ACC_SHIFT-scaled triple-f32 accumulator [m, n], bit-identical to the
+    XLA path.
     """
     ns, m, k_in = da.shape
     n = db.shape[2]
-    bm = min(block_m, _round_up(m, 128))
-    bn = min(block_n, _round_up(n, 128))
-    bk = min(block_k, _round_up(k_in, 128))
+    kernel, n_groups = _make_kernel(num_split, b, k)
+    bm, bn, bk = _pick_blocks(ns, n_groups, m, n, k_in, block_m, block_n, block_k)
     m_pad = _round_up(m, bm)
     n_pad = _round_up(n, bn)
     k_pad = _round_up(k_in, bk)
@@ -124,7 +164,6 @@ def recombine_pallas(
     if (k_pad, n_pad) != (k_in, n):
         db = jnp.pad(db, ((0, 0), (0, k_pad - k_in), (0, n_pad - n)))
 
-    kernel = _make_kernel(num_split, b, k)
     grid = (m_pad // bm, n_pad // bn, k_pad // bk)
     out_sds = jax.ShapeDtypeStruct((m_pad, n_pad), jnp.float32)
 
@@ -147,9 +186,7 @@ def recombine_pallas(
                 pl.BlockSpec((bm, bn), lambda i, j, kk: (i, j), memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((bm, bn), jnp.float32),
-                pltpu.VMEM((bm, bn), jnp.float32),
-                pltpu.VMEM((bm, bn), jnp.float32),
+                pltpu.VMEM((bm, bn), jnp.int32) for _ in range(n_groups)
             ],
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel", "parallel", "arbitrary"),

@@ -102,6 +102,31 @@ def split_with_row_exp(
     return digits, pexp
 
 
+def _use_pallas_split(shape) -> bool:
+    """Engine selection, same env contract as ops/recombine.use_pallas_engine:
+    OZIMMU_ENGINE = pallas | xla | auto (default: Pallas on TPU for shapes
+    large enough to tile)."""
+    import os
+
+    mode = os.environ.get("OZIMMU_ENGINE", "auto")
+    if mode == "pallas":
+        return True
+    if mode == "xla":
+        return False
+    return jax.default_backend() == "tpu" and min(shape) >= 128
+
+
+def _split_dispatch(x: F64X, num_split: int, b: int, axis: int):
+    e_max = row_exponent(x, axis)
+    if _use_pallas_split(x.shape):
+        from .split_pallas import split_digits_pallas
+
+        digits = split_digits_pallas(x.hi, x.lo, e_max, num_split, b, axis)
+        pexp = jnp.where(e_max > 0, e_max - 1022, ZERO_ROW_PEXP).astype(jnp.int32)
+        return digits, pexp
+    return split_with_row_exp(x, e_max, num_split, b, axis=axis)
+
+
 @partial(jax.jit, static_argnums=(1, 2), inline=True)
 def split_f64x(x: F64X, num_split: int, b: int) -> Tuple[jax.Array, jax.Array]:
     """Split ``x`` [rows, k] into digit planes.
@@ -109,7 +134,7 @@ def split_f64x(x: F64X, num_split: int, b: int) -> Tuple[jax.Array, jax.Array]:
     Returns ``(digits, pexp)``: ``digits`` int8 ``[ns, rows, k]``, ``pexp``
     int32 ``[rows]`` with row scale ``2^pexp``.
     """
-    return split_with_row_exp(x, row_exponent(x, 1), num_split, b, axis=1)
+    return _split_dispatch(x, num_split, b, axis=1)
 
 
 @partial(jax.jit, static_argnums=(1, 2), inline=True)
@@ -121,4 +146,4 @@ def split_f64x_cols(x: F64X, num_split: int, b: int) -> Tuple[jax.Array, jax.Arr
     [k, cols] layout — no plane transposes, which are expensive relayouts
     on TPU.  Returns digits int8 ``[ns, k, cols]`` and pexp int32 [cols].
     """
-    return split_with_row_exp(x, row_exponent(x, 0), num_split, b, axis=0)
+    return _split_dispatch(x, num_split, b, axis=0)

@@ -33,26 +33,36 @@ class TestRecombinePallas:
         for x, p in zip(Sx, Sp):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(p))
 
-    def test_multi_k_block_close(self):
-        """Multiple k steps reorder the folds; value agreement stays far
-        below the f64 target."""
+    def test_multi_k_block_bitwise(self):
+        """Group accumulation stays int32 across k steps, so the fold order
+        (and every rounding) matches the XLA path exactly."""
         Sx, Sp = _run_both(256, 128, 1024, ns=8, block_k=256)
-        vx = sum(np.asarray(t, np.float64) for t in Sx)
-        vp = sum(np.asarray(t, np.float64) for t in Sp)
-        rel = np.max(np.abs(vx - vp) / np.maximum(np.abs(vx), 1e-300))
-        assert rel < 4e-16
+        for x, p in zip(Sx, Sp):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(p))
 
     def test_unaligned_shapes_padded(self):
         Sx, Sp = _run_both(200, 136, 272, ns=6, block_k=128)
-        vx = sum(np.asarray(t, np.float64) for t in Sx)
-        vp = sum(np.asarray(t, np.float64) for t in Sp)
-        rel = np.max(np.abs(vx - vp) / np.maximum(np.abs(vx), 1e-300))
-        assert rel < 4e-16
+        for x, p in zip(Sx, Sp):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(p))
 
     @pytest.mark.parametrize("ns", [3, 12])
     def test_split_counts(self, ns):
         Sx, Sp = _run_both(128, 128, 256, ns=ns, block_k=128)
-        vx = sum(np.asarray(t, np.float64) for t in Sx)
-        vp = sum(np.asarray(t, np.float64) for t in Sp)
-        rel = np.max(np.abs(vx - vp) / np.maximum(np.abs(vx), 1e-300))
-        assert rel < 4e-16
+        for x, p in zip(Sx, Sp):
+            np.testing.assert_array_equal(np.asarray(x), np.asarray(p))
+
+
+class TestPickBlocks:
+    def test_tile_granule_preserved(self):
+        """Regression: VMEM-fit shrinking must keep blocks on the (8, 128)
+        granule — k=640-style shapes once produced bk=320//2=160-ish blocks
+        that Mosaic rejects."""
+        import os
+        from ozimmu_tpu.ops.recombine_pallas import _pick_blocks
+
+        os.environ.pop("OZIMMU_VMEM_BUDGET_MB", None)
+        for ns, g in [(9, 9), (18, 18), (13, 13)]:
+            for m, n, k in [(512, 640, 640), (4096, 4096, 4096), (129, 257, 641)]:
+                bm, bn, bk = _pick_blocks(ns, g, m, n, k, 256, 256, 1024)
+                assert bm % 128 == 0 and bn % 128 == 0 and bk % 128 == 0, (
+                    ns, m, n, k, bm, bn, bk)
