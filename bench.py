@@ -37,9 +37,9 @@ from ozimmu_tpu.core.f64x import F64X
 from ozimmu_tpu.core.gemm import _gemm_core
 from ozimmu_tpu.testing import error_metrics
 
-M = int(os.environ.get("OZ_BENCH_M", 4096))
+M = int(os.environ.get("OZ_BENCH_M", 8192))
 NS = int(os.environ.get("OZ_BENCH_NS", 9))
-ITERS = int(os.environ.get("OZ_BENCH_ITERS", 8))
+ITERS = int(os.environ.get("OZ_BENCH_ITERS", 6))
 
 
 def log(msg):

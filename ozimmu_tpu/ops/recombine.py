@@ -110,12 +110,28 @@ def recombine(
 
     The caller folds ``2^(pa + pb + ACC_SHIFT^-1)`` in the epilogue.
     """
-    m = da.shape[1]
-    n = db.shape[2]
+    totals = group_totals(da, db, num_split, k, b)
+    return fold_group_totals(totals, num_split, k, b)
+
+
+def group_totals(da, db, num_split: int, k: int, b: int):
+    """Int32 partial products of every scheduled t-group (a list, in
+    ascending-t schedule order).  Exact — summable across k-shards or
+    k-chunks without overflow (the schedule's chunk cap bounds the FULL
+    contraction; pass the GLOBAL k)."""
+    return [
+        _group_dot(da, db, g.pairs) for g in group_schedule(num_split, k, b)
+    ]
+
+
+def fold_group_totals(totals, num_split: int, k: int, b: int) -> Triple:
+    """Deterministic fold of the int32 group totals into the triple-f32
+    accumulator (ascending t; each total split exactly into two f32
+    16-bit-half terms)."""
     shift = acc_shift(num_split, b)
+    m, n = totals[0].shape
     acc = tf32x3.zeros((m, n))
-    for g in group_schedule(num_split, k, b):
-        d = _group_dot(da, db, g.pairs)
+    for g, d in zip(group_schedule(num_split, k, b), totals):
         w = g.weight_log2(b) + shift  # in [-62, ...]
         hi = jax.lax.shift_right_arithmetic(d, np.int32(16))  # [-2^15, 2^15)
         lo = d - jax.lax.shift_left(hi, np.int32(16))  # [0, 2^16)

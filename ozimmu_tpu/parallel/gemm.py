@@ -111,6 +111,104 @@ def sharded_gemm_fn(
     return fn
 
 
+def sharded_gemm_ring_fn(
+    mesh: Mesh,
+    num_split: int,
+    k_global: int,
+    axis_x: str = "x",
+    axis_y: str = "y",
+):
+    """Ring-streamed (Cannon) DGEMM for SQUARE meshes: the huge-problem
+    variant.
+
+    The all-gather formulation (:func:`sharded_gemm_fn`) materializes
+    full-k int8 slabs on every device — at the north-star scale
+    (131072^3 on 16 chips, BASELINE.json configs[4]) that is tens of GB
+    per operand and crowds HBM.  This variant streams instead, Cannon
+    style: after an initial skew (A's mesh row i rotated by i, B's mesh
+    column j rotated by j — done in log2(q) masked ``ppermute`` rounds),
+    device (i, j) holds A k-panel (i+j+s) mod q and B k-panel (i+j+s)
+    mod q at every step s, so one neighbour ``ppermute`` per ring per
+    step keeps the panels aligned.  Peak memory is TWO panels per
+    operand instead of the full-k slab (q-fold less); total ICI bytes
+    are the same int8 planes, and XLA overlaps the step-s+1 permute
+    with the step-s MXU contraction.
+
+    The k contraction accumulates exact int32 group totals across steps
+    (the schedule's chunk cap bounds the FULL k), folded once at the
+    end — results are bit-identical to the single-chip engine and to
+    :func:`sharded_gemm_fn`.
+    """
+    b = bits_per_int8(k_global)
+    if b <= 0:
+        raise ValueError(f"global k={k_global} too large for int8 emulation")
+    from ..ops.recombine import fold_group_totals, group_totals
+
+    x_sz, y_sz = (mesh.shape[axis_x], mesh.shape[axis_y])
+    if x_sz != y_sz:
+        raise ValueError(
+            f"ring (Cannon) DGEMM needs a square mesh, got {x_sz}x{y_sz}; "
+            "use sharded_gemm_fn (all-gather) instead"
+        )
+    q = x_sz
+    spec2d = P(axis_x, axis_y)
+
+    def _skew(planes, ring_axis, amount_idx):
+        """Rotate ``planes`` along ``ring_axis`` by a per-device amount
+        (the other mesh coordinate), in log2(q) masked ppermute rounds."""
+        r = 0
+        while (1 << r) < q:
+            sh = 1 << r
+            rot = jax.lax.ppermute(
+                planes, ring_axis, [((p + sh) % q, p) for p in range(q)]
+            )
+            take = ((amount_idx >> r) & 1) == 1
+            planes = jnp.where(take, rot, planes)
+            r += 1
+        return planes
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec2d, spec2d, spec2d, spec2d),
+        out_specs=(spec2d, spec2d),
+        check_vma=False,
+    )
+    def _kernel(a_hi, a_lo, b_hi, b_lo):
+        a = F64X(a_hi, a_lo)  # local block [m/x, k/y]: A k-panel j
+        bm = F64X(b_hi, b_lo)  # local block [k/x, n/y]: B k-panel i
+
+        da, pa = _local_split(a, axis_y, num_split, b, axis=1)
+        db, pb = _local_split(bm, axis_x, num_split, b, axis=0)
+
+        i_idx = jax.lax.axis_index(axis_x)
+        j_idx = jax.lax.axis_index(axis_y)
+        # skew: device (i, j) ends up holding A panel (i+j)%q and
+        # B panel (i+j)%q
+        da = _skew(da, axis_y, i_idx)
+        db = _skew(db, axis_x, j_idx)
+
+        shift_y = [((p + 1) % q, p) for p in range(q)]  # dst j <- src j+1
+        shift_x = [((p + 1) % q, p) for p in range(q)]
+        totals = group_totals(da, db, num_split, k_global, b)
+        for _ in range(1, q):
+            da = jax.lax.ppermute(da, axis_y, shift_y)
+            db = jax.lax.ppermute(db, axis_x, shift_x)
+            step = group_totals(da, db, num_split, k_global, b)
+            totals = [t + s for t, s in zip(totals, step)]
+
+        S = fold_group_totals(totals, num_split, k_global, b)
+        E = (pa[:, None] + pb[None, :] - acc_shift(num_split, b)).astype(jnp.int32)
+        out = pack_f64x(S, E)
+        return out.hi, out.lo
+
+    def fn(a: F64X, bm: F64X) -> F64X:
+        hi, lo = _kernel(a.hi, a.lo, bm.hi, bm.lo)
+        return F64X(hi, lo)
+
+    return fn
+
+
 def sharded_gemm(
     a: np.ndarray,
     b: np.ndarray,
@@ -118,8 +216,14 @@ def sharded_gemm(
     mesh: Mesh,
     axis_x: str = "x",
     axis_y: str = "y",
+    ring: bool = False,
 ) -> np.ndarray:
-    """Host-convenience wrapper: shard numpy operands, run, gather back."""
+    """Host-convenience wrapper: shard numpy operands, run, gather back.
+
+    ``ring=True`` selects the Cannon-streamed variant (square meshes,
+    q-fold lower peak memory — for problems whose gathered int8 slabs
+    would not fit in HBM).
+    """
     m, k = a.shape
     k2, n = b.shape
     if k != k2:
@@ -129,7 +233,8 @@ def sharded_gemm(
     bx = F64X.from_numpy(np.ascontiguousarray(b, np.float64))
     ax = F64X(jax.device_put(ax.hi, spec), jax.device_put(ax.lo, spec))
     bx = F64X(jax.device_put(bx.hi, spec), jax.device_put(bx.lo, spec))
-    fn = jax.jit(sharded_gemm_fn(mesh, num_split, k))
+    make = sharded_gemm_ring_fn if ring else sharded_gemm_fn
+    fn = jax.jit(make(mesh, num_split, k, axis_x, axis_y))
     out = fn(ax, bx)
     return out.to_numpy().reshape(m, n)
 

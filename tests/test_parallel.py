@@ -73,3 +73,49 @@ class TestShardedGemm:
         np.testing.assert_allclose(
             out1.to_numpy().reshape(32, 32), a @ b, rtol=1e-14
         )
+
+
+@pytest.fixture(scope="module")
+def square_mesh():
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    return make_mesh_2d(4)
+
+
+class TestRingGemm:
+    """Cannon-streamed variant (sharded_gemm_ring_fn): square meshes."""
+
+    def test_bitwise_same_as_local_engine(self, square_mesh):
+        import ozimmu_tpu as oz
+
+        a = generate_input("normal01", (32, 64), seed=12)
+        b = generate_input("normal01", (64, 32), seed=13)
+        c_ring = sharded_gemm(a, b, 9, square_mesh, ring=True)
+        c_local = oz.gemm(a, b, mode="fp64_int8_9")
+        np.testing.assert_array_equal(
+            c_ring.view(np.uint64), c_local.view(np.uint64)
+        )
+
+    def test_bitwise_same_as_allgather(self, square_mesh):
+        a = generate_input("exp_rand-3", (64, 128), seed=14)
+        b = generate_input("exp_rand-3", (128, 64), seed=15)
+        c_ring = sharded_gemm(a, b, 12, square_mesh, ring=True)
+        c_ag = sharded_gemm(a, b, 12, square_mesh, ring=False)
+        np.testing.assert_array_equal(
+            c_ring.view(np.uint64), c_ag.view(np.uint64)
+        )
+
+    def test_accuracy_gate(self, square_mesh):
+        a = generate_input("urand01", (64, 256), seed=16)
+        b = generate_input("urand01", (256, 96), seed=17)
+        c = sharded_gemm(a, b, 9, square_mesh, ring=True)
+        assert error_metrics(c, a, b)["relative_residual"] < 1e-15
+
+    def test_rejects_rectangular_mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_ring_fn
+
+        rect = make_mesh_2d(8)  # 2x4
+        with pytest.raises(ValueError, match="square"):
+            sharded_gemm_ring_fn(rect, 9, 128)
