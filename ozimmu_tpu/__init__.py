@@ -56,6 +56,7 @@ from .core.handle import (
     set_auto_mantissa_loss_threshold,
     get_auto_mantissa_loss_threshold,
 )
+from .utils.profiling import device_trace
 from . import hostref, schedule, testing, types
 
 __version__ = "0.1.0"
@@ -85,6 +86,7 @@ __all__ = [
     "destroy",
     "default_handle",
     "enable_profiling",
+    "device_trace",
     "disable_profiling",
     "print_profiler_result",
     "clear_profiler_result",

@@ -328,9 +328,12 @@ def gemm_batched(
     handle: Optional[Handle] = None,
 ) -> np.ndarray:
     """Batched GEMM [B, m, k] @ [B, k, n] (strided-batched parity,
-    reference cublas.cu:380-406 — which loops; here a single vmapped jit)."""
+    reference cublas.cu:380-406 — which loops; here a single vmapped jit).
+    Real (Dgemm) and complex (Zgemm) batches both supported."""
     handle = handle or default_handle()
     mode_r = handle.resolve_mode(mode)
+    if np.iscomplexobj(a) or np.iscomplexobj(b):
+        return _gemm_batched_complex(a, b, mode_r, alpha, beta, c, handle)
     if mode_r is ComputeMode.FP64_INT8_AUTO:
         # select on the flattened batch (one mode for the whole batch)
         k = a.shape[2]
@@ -355,6 +358,61 @@ def gemm_batched(
     fn = jax.vmap(lambda x, y, z: _gemm_core(x, y, ns, float(alpha), float(beta), z))
     r = fn(F64X.from_numpy(a), F64X.from_numpy(b), F64X.from_numpy(c))
     return r.to_numpy().reshape(a.shape[0], a.shape[1], b.shape[2])
+
+
+def _gemm_batched_complex(a, b, mode_r, alpha, beta, c, handle):
+    """Vmapped ZGEMM batch (reference ZgemmStridedBatched shim parity)."""
+    from .gemm import _zgemm_core
+
+    a = np.ascontiguousarray(a, dtype=np.complex128)
+    b = np.ascontiguousarray(b, dtype=np.complex128)
+    B, m, k = a.shape
+    n = b.shape[2]
+    if mode_r is ComputeMode.FP64_INT8_AUTO:
+        # one mode for the whole batch, from the flattened planes
+        ax = F64X.from_numpy(a.real.reshape(-1, k))
+        bx = F64X.from_numpy(np.swapaxes(b.real, 1, 2).reshape(-1, k))
+        mode_re = _auto_mode_select_core(ax, bx, k, handle.avg_mantissa_loss_threshold, b_is_cols=False)
+        axi = F64X.from_numpy(a.imag.reshape(-1, k))
+        bxi = F64X.from_numpy(np.swapaxes(b.imag, 1, 2).reshape(-1, k))
+        mode_im = _auto_mode_select_core(axi, bxi, k, handle.avg_mantissa_loss_threshold, b_is_cols=False)
+        if not (mode_re.is_int8 and mode_im.is_int8):
+            mode_r = ComputeMode.DGEMM
+        else:
+            mode_r = ComputeMode.from_num_split(
+                max(mode_re.num_split, mode_im.num_split)
+            )
+        log(f"AUTO selected mode = {mode_r.value} (batched complex)")
+    if not mode_r.is_int8:
+        out = np.einsum("bmk,bkn->bmn", a, b) * complex(alpha)
+        if beta != 0 and c is not None:
+            out = out + complex(beta) * c
+        return out
+    _check_k_supported(k)
+    ns = mode_r.num_split
+    al, be = complex(alpha), complex(beta)
+
+    if c is None:
+        fn = jax.vmap(lambda ar, ai, br, bi: _zgemm_core(ar, ai, br, bi, ns, al, 0j))
+        re, im = fn(
+            F64X.from_numpy(a.real), F64X.from_numpy(a.imag),
+            F64X.from_numpy(b.real), F64X.from_numpy(b.imag),
+        )
+    else:
+        c = np.ascontiguousarray(c, dtype=np.complex128)
+        fn = jax.vmap(
+            lambda ar, ai, br, bi, cr, ci: _zgemm_core(
+                ar, ai, br, bi, ns, al, be, cr, ci
+            )
+        )
+        re, im = fn(
+            F64X.from_numpy(a.real), F64X.from_numpy(a.imag),
+            F64X.from_numpy(b.real), F64X.from_numpy(b.imag),
+            F64X.from_numpy(c.real), F64X.from_numpy(c.imag),
+        )
+    return (
+        re.to_numpy().reshape(B, m, n) + 1j * im.to_numpy().reshape(B, m, n)
+    )
 
 
 def auto_mode_select(

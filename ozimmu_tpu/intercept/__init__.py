@@ -44,7 +44,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.f64x import F64X
-from ..core.gemm import _gemm_core
+from ..core.gemm import _gemm_core, _zgemm_core
 from ..core.handle import Handle, default_handle
 from ..ops import tf32x3
 from ..ops.pack import pack_f64x, unpack_f64x
@@ -116,7 +116,7 @@ def _current_mode(handle: Handle) -> ComputeMode:
 def _qualifies(m: int, n: int, k: int, dtype, mode: ComputeMode, handle: Handle) -> bool:
     if mode in (ComputeMode.DGEMM,):
         return False
-    if dtype not in (jnp.float64, np.float64):
+    if dtype not in (jnp.float64, np.float64, jnp.complex128, np.complex128):
         return False
     return (
         m >= handle.intercept_threshold_m
@@ -149,6 +149,61 @@ def _route_2d(a: jax.Array, b: jax.Array, mode: ComputeMode, handle: Handle) -> 
         tls.in_engine = False
 
 
+def _route_complex_2d(a, b, mode: ComputeMode, handle: Handle):
+    """ZGEMM interception (reference cublasZgemm_v2, cublas.cu:297-313)."""
+    tls = _tls()
+    tls.in_engine = True
+    try:
+        ar = f64_to_f64x_traced(jnp.real(a))
+        ai = f64_to_f64x_traced(jnp.imag(a))
+        br = f64_to_f64x_traced(jnp.real(b))
+        bi = f64_to_f64x_traced(jnp.imag(b))
+        if mode is ComputeMode.FP64_INT8_AUTO:
+            if isinstance(a, jax.core.Tracer):
+                mode = ComputeMode.FP64_INT8_9
+            else:
+                from ..ops.mantissa_loss import auto_mode_select
+
+                k = a.shape[1]
+                th = handle.avg_mantissa_loss_threshold
+                picks = [
+                    auto_mode_select(ar, br, k, th),
+                    auto_mode_select(ai, bi, k, th),
+                ]
+                if any(not p.is_int8 for p in picks):
+                    return None  # fall through to native
+                mode = ComputeMode.from_num_split(
+                    max(p.num_split for p in picks)
+                )
+                log(f"AUTO selected mode = {mode.value} (intercept, complex)")
+        out_re, out_im = _zgemm_core(
+            ar, ai, br, bi, mode.num_split, 1.0 + 0j, 0.0 + 0j
+        )
+        return jax.lax.complex(
+            f64x_to_f64_traced(out_re), f64x_to_f64_traced(out_im)
+        )
+    finally:
+        tls.in_engine = False
+
+
+def _route_batched(a, b, mode: ComputeMode, handle: Handle):
+    """Batched DGEMM interception ([B, m, k] @ [B, k, n]; reference's
+    strided-batched shim loops per batch, cublas.cu:380-406 — here one
+    vmapped engine call)."""
+    tls = _tls()
+    tls.in_engine = True
+    try:
+        if mode is ComputeMode.FP64_INT8_AUTO:
+            mode = ComputeMode.FP64_INT8_9  # one robust mode per batch
+        ax = f64_to_f64x_traced(a)  # conversion is elementwise: 3D is fine
+        bx = f64_to_f64x_traced(b)
+        ns = mode.num_split
+        out = jax.vmap(lambda x, y: _gemm_core(x, y, ns, 1.0, 0.0))(ax, bx)
+        return f64x_to_f64_traced(out)
+    finally:
+        tls.in_engine = False
+
+
 # ---------------------------------------------------------------------------
 # patched entry points
 # ---------------------------------------------------------------------------
@@ -165,9 +220,11 @@ def _patched_dot_general(lhs, rhs, dimension_numbers, *args, **kwargs):
         ((lc, rc), (lb, rb)) = dimension_numbers
         handle = tls.handle or default_handle()
         mode = _current_mode(handle)
+        ldt = getattr(lhs, "dtype", None)
+        rdt = getattr(rhs, "dtype", None)
         if (
-            getattr(lhs, "dtype", None) == jnp.float64
-            and getattr(rhs, "dtype", None) == jnp.float64
+            ldt == rdt
+            and ldt in (jnp.float64, jnp.complex128)
             and lhs.ndim == 2
             and rhs.ndim == 2
             and len(lb) == 0
@@ -179,9 +236,31 @@ def _patched_dot_general(lhs, rhs, dimension_numbers, *args, **kwargs):
             b = rhs if rc == (0,) else rhs.T
             m, k = a.shape
             n = b.shape[1]
-            if _qualifies(m, n, k, lhs.dtype, mode, handle):
+            if _qualifies(m, n, k, ldt, mode, handle):
+                route = _route_complex_2d if ldt == jnp.complex128 else _route_2d
                 with culip_timer(f"intercept_dot_general-m{m}-n{n}-k{k}"):
-                    r = _route_2d(jnp.asarray(a), jnp.asarray(b), mode, handle)
+                    r = route(jnp.asarray(a), jnp.asarray(b), mode, handle)
+                if r is not None:
+                    return r
+        elif (
+            ldt == rdt
+            and ldt == jnp.float64
+            and lhs.ndim == 3
+            and rhs.ndim == 3
+            and lb == (0,)
+            and rb == (0,)
+            and lc == (2,)
+            and rc == (1,)
+        ):
+            bsz, m, k = lhs.shape
+            n = rhs.shape[2]
+            if _qualifies(m, n, k, ldt, mode, handle):
+                with culip_timer(
+                    f"intercept_dot_general_batched-b{bsz}-m{m}-n{n}-k{k}"
+                ):
+                    r = _route_batched(
+                        jnp.asarray(lhs), jnp.asarray(rhs), mode, handle
+                    )
                 if r is not None:
                     return r
     except Exception:  # pragma: no cover - fall back to native on any issue

@@ -34,23 +34,27 @@ from ..types import MAX_NUM_SPLIT, MIN_NUM_SPLIT, ComputeMode
 _NS_CANDIDATES = np.arange(MIN_NUM_SPLIT, MAX_NUM_SPLIT + 1, dtype=np.int32)
 
 
-@partial(jax.jit, static_argnums=(1,), inline=True)
-def mantissa_loss_totals(x: F64X, b: int) -> jax.Array:
-    """Loss totals for ns = 3..18 over rows of ``x`` [rows, k].
+@partial(jax.jit, static_argnums=(1, 2), inline=True)
+def mantissa_loss_totals(x: F64X, b: int, axis: int = 1) -> jax.Array:
+    """Loss totals for ns = 3..18 over scale groups of ``x``.
 
-    Returns int64 [16].  Elements with value exactly zero and rows whose
-    max exponent field is zero are skipped (reference split.cu:322-324).
+    ``axis`` is the contraction axis: 1 for A [rows, k] (per-row scale),
+    0 for B [k, cols] (per-column scale, computed in natural layout — no
+    transpose relayout).  Returns int64 [16].  Elements with value exactly
+    zero and groups whose max exponent field is zero are skipped
+    (reference split.cu:322-324).
     """
-    e = exponent_field(x)  # [rows, k]
+    e = exponent_field(x)  # [rows, k] or [k, cols]
     mant_nonzero = (
         (x.hi & np.uint32(0x000FFFFF)) | x.lo
     ) != 0
     value_nonzero = (e > 0) | mant_nonzero
-    e_row = jnp.max(e, axis=1)
+    e_row = jnp.max(e, axis=axis)
     row_ok = e_row > 0
+    bcast = (slice(None), None) if axis == 1 else (None, slice(None))
 
-    required = (e_row[:, None] + 1 - e) + 53  # int32
-    valid = value_nonzero & row_ok[:, None]
+    required = (e_row[bcast] + 1 - e) + 53  # int32
+    valid = value_nonzero & row_ok[bcast]
     required = jnp.where(valid, required, 0)
 
     space = (_NS_CANDIDATES * np.int32(b))[:, None, None]  # [16,1,1]
@@ -73,12 +77,11 @@ def auto_mode_select(
     Mirrors the selection loop of split.cu:473-493.
     """
     bb = bits_per_int8(k)
-    la = mantissa_loss_totals(a, bb)
-    bt = F64X(b_mat.hi.T, b_mat.lo.T) if b_is_cols else b_mat
-    lb = mantissa_loss_totals(bt, bb)
+    la = mantissa_loss_totals(a, bb, axis=1)
+    lb = mantissa_loss_totals(b_mat, bb, axis=0 if b_is_cols else 1)
     totals = np.asarray(jax.device_get(la + lb))
     m = a.shape[0]
-    n = bt.shape[0]
+    n = b_mat.shape[1] if b_is_cols else b_mat.shape[0]
     denom = float(m * k + k * n)
     for idx, ns in enumerate(_NS_CANDIDATES):
         if totals[idx] / denom <= threshold:

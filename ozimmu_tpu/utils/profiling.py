@@ -100,3 +100,19 @@ def culip_timer(name: str, sync_fn=None) -> Iterator[None]:
         sync_fn()
     dt = time.perf_counter_ns() - t0
     print(f"[CULiP Result][{name}] {dt} [ns]", flush=True)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: str) -> Iterator[None]:
+    """Capture a ``jax.profiler`` device trace of everything inside the
+    block (XLA/Mosaic kernel timelines, DMA, collectives) — the deep-
+    analysis complement to :class:`PhaseProfiler`.  View with
+    TensorBoard or Perfetto.
+
+    ::
+
+        with oz.device_trace("/tmp/oz_trace"):
+            c = oz.matmul(a, b, mode="fp64_int8_9")
+    """
+    with jax.profiler.trace(log_dir):
+        yield

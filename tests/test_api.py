@@ -185,3 +185,33 @@ class TestHandleAndProfiling:
         monkeypatch.setenv("OZIMMU_COMPUTE_MODE", "fp64_int8_10")
         h = oz.create()
         assert h.resolve_mode(None) == oz.ComputeMode.FP64_INT8_10
+
+
+class TestBatchedComplex:
+    def test_zgemm_batched_matches_numpy(self):
+        rng = np.random.default_rng(30)
+        a = rng.normal(size=(3, 32, 48)) + 1j * rng.normal(size=(3, 32, 48))
+        b = rng.normal(size=(3, 48, 24)) + 1j * rng.normal(size=(3, 48, 24))
+        c = oz.gemm_batched(a, b, mode="fp64_int8_9")
+        ref = np.einsum("bmk,bkn->bmn", a, b)
+        rel = np.linalg.norm(c - ref) / np.linalg.norm(ref)
+        assert rel < 1e-15
+
+    def test_zgemm_batched_epilogue(self):
+        rng = np.random.default_rng(31)
+        a = rng.normal(size=(2, 16, 32)) + 1j * rng.normal(size=(2, 16, 32))
+        b = rng.normal(size=(2, 32, 16)) + 1j * rng.normal(size=(2, 32, 16))
+        c0 = rng.normal(size=(2, 16, 16)) + 1j * rng.normal(size=(2, 16, 16))
+        c = oz.gemm_batched(a, b, mode="fp64_int8_12", alpha=2.0, beta=0.5, c=c0)
+        ref = 2.0 * np.einsum("bmk,bkn->bmn", a, b) + 0.5 * c0
+        rel = np.linalg.norm(c - ref) / np.linalg.norm(ref)
+        assert rel < 1e-15
+
+    def test_zgemm_batched_auto(self):
+        rng = np.random.default_rng(32)
+        a = rng.normal(size=(2, 32, 32)) + 1j * rng.normal(size=(2, 32, 32))
+        b = rng.normal(size=(2, 32, 32)) + 1j * rng.normal(size=(2, 32, 32))
+        c = oz.gemm_batched(a, b, mode="fp64_int8_auto")
+        ref = np.einsum("bmk,bkn->bmn", a, b)
+        rel = np.linalg.norm(c - ref) / np.linalg.norm(ref)
+        assert rel < 1e-15

@@ -129,3 +129,50 @@ class TestInterception:
         with ozi.intercept(mode="fp64_int8_9", handle=h):
             c = np.asarray(jnp.dot(a, b))
         np.testing.assert_allclose(c, np.asarray(a) @ np.asarray(b), rtol=1e-14)
+
+
+class TestComplexAndBatched:
+    def _handle(self):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 32
+        return h
+
+    def test_complex_rerouted(self):
+        rng = np.random.default_rng(20)
+        a = jnp.asarray(rng.normal(size=(64, 64)) + 1j * rng.normal(size=(64, 64)))
+        b = jnp.asarray(rng.normal(size=(64, 48)) + 1j * rng.normal(size=(64, 48)))
+        with ozi.intercept(mode="fp64_int8_9", handle=self._handle()):
+            c = jnp.dot(a, b)
+        ref = np.asarray(a) @ np.asarray(b)
+        rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
+        assert rel < 1e-15
+
+    def test_complex_under_jit(self):
+        rng = np.random.default_rng(21)
+        a = jnp.asarray(rng.normal(size=(48, 64)) + 1j * rng.normal(size=(48, 64)))
+        b = jnp.asarray(rng.normal(size=(64, 32)) + 1j * rng.normal(size=(64, 32)))
+        with ozi.intercept(mode="fp64_int8_10", handle=self._handle()):
+            c = jax.jit(jnp.matmul)(a, b)
+        ref = np.asarray(a) @ np.asarray(b)
+        rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
+        assert rel < 1e-15
+
+    def test_batched_rerouted(self):
+        rng = np.random.default_rng(22)
+        a = jnp.asarray(rng.uniform(size=(3, 48, 64)), dtype=jnp.float64)
+        b = jnp.asarray(rng.uniform(size=(3, 64, 32)), dtype=jnp.float64)
+        with ozi.intercept(mode="fp64_int8_9", handle=self._handle()):
+            c = jnp.matmul(a, b)
+        ref = np.einsum("bmk,bkn->bmn", np.asarray(a), np.asarray(b))
+        rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
+        assert rel < 1e-15
+
+    def test_batched_auto_under_jit(self):
+        rng = np.random.default_rng(23)
+        a = jnp.asarray(rng.uniform(size=(2, 32, 64)), dtype=jnp.float64)
+        b = jnp.asarray(rng.uniform(size=(2, 64, 32)), dtype=jnp.float64)
+        with ozi.intercept(mode="fp64_int8_auto", handle=self._handle()):
+            c = jax.jit(jnp.matmul)(a, b)
+        ref = np.einsum("bmk,bkn->bmn", np.asarray(a), np.asarray(b))
+        rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
+        assert rel < 1e-15

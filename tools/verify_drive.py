@@ -1,0 +1,63 @@
+import os, sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+"""User-level drive of the public API on real TPU (verification script)."""
+import os, sys
+import numpy as np
+import jax
+jax.config.update("jax_enable_x64", True)
+import ozimmu_tpu as oz
+
+print(f"device: {jax.devices()[0]}", flush=True)
+rng = np.random.default_rng(42)
+
+def resid(c, a, b):
+    ref = a @ b
+    return np.linalg.norm(c - ref) / np.linalg.norm(ref)
+
+# 1. plain matmul, aligned shape, headline mode
+a = rng.uniform(size=(2048, 2048)); b = rng.uniform(size=(2048, 2048))
+c = oz.matmul(a, b, mode="fp64_int8_9")
+print(f"1. matmul 2048^3 int8_9 residual: {resid(np.asarray(c), a, b):.3e}", flush=True)
+
+# 2. unaligned shapes exercising pad paths of BOTH new kernels
+a2 = rng.standard_normal((1000, 1234)); b2 = rng.standard_normal((1234, 777))
+c2 = oz.matmul(a2, b2, mode="fp64_int8_9")
+print(f"2. matmul 1000x1234x777 residual: {resid(np.asarray(c2), a2, b2):.3e}", flush=True)
+
+# 3. wide exponent spread + deepest split count (ns=18: 128-bit windows)
+a3 = (rng.uniform(size=(512, 640)) - 0.5) * np.exp(8 * rng.standard_normal((512, 640)))
+b3 = (rng.uniform(size=(640, 512)) - 0.5) * np.exp(8 * rng.standard_normal((640, 512)))
+c3 = oz.matmul(a3, b3, mode="fp64_int8_18")
+print(f"3. exp_rand-8 512x640x512 int8_18 residual: {resid(np.asarray(c3), a3, b3):.3e}", flush=True)
+
+# 4. engine equivalence on device: pallas vs xla path bit-identical
+os.environ["OZIMMU_ENGINE"] = "xla"
+cx = oz.matmul(a, b, mode="fp64_int8_9")
+os.environ["OZIMMU_ENGINE"] = "pallas"
+cp = oz.matmul(a, b, mode="fp64_int8_9")
+os.environ.pop("OZIMMU_ENGINE")
+bitsame = np.array_equal(np.asarray(cx).view(np.uint64), np.asarray(cp).view(np.uint64))
+print(f"4. xla-vs-pallas engines bit-identical: {bitsame}", flush=True)
+
+# 5. BLAS epilogue + transpose through gemm
+c5 = oz.gemm(a2.T, b2, mode="fp64_int8_9", op_a="T", alpha=2.5, beta=1.0,
+             c=np.ones((1000, 777)))
+ref5 = 2.5 * (a2 @ b2) + 1.0
+r5 = np.linalg.norm(np.asarray(c5) - ref5) / np.linalg.norm(ref5)
+print(f"5. gemm op_a=T alpha=2.5 beta=1 residual: {r5:.3e}", flush=True)
+
+# 6. probe: shape mismatch error
+try:
+    oz.matmul(a, b2, mode="fp64_int8_9")
+    print("6. shape mismatch: NO ERROR (bad)", flush=True)
+except Exception as e:
+    print(f"6. shape mismatch raises {type(e).__name__}: {str(e)[:60]}", flush=True)
+
+# 7. probe: zgemm (complex) still fine on top of the new kernels
+az = a3[:256, :256] + 1j * b3[:256, :256]
+bz = b3[:256, :256] - 1j * a3[:256, :256]
+cz = oz.gemm(az, bz, mode="fp64_int8_12")
+refz = az @ bz
+rz = np.linalg.norm(np.asarray(cz) - refz) / np.linalg.norm(refz)
+print(f"7. zgemm 256^3 int8_12 exp-spread residual: {rz:.3e}", flush=True)
+print("done", flush=True)
