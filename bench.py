@@ -49,12 +49,15 @@ def log(msg):
 @partial(jax.jit, static_argnums=(4, 5))
 def chain_engine(a_hi, a_lo, b_hi, b_lo, ns, iters):
     def body(i, carry):
-        b_hi, b_lo = carry
+        a_lo, b_lo = carry
         out = _gemm_core(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, 1.0, 0.0)
-        # dependency: flip one low mantissa bit of B per element
-        return b_hi, b_lo ^ (out.lo & np.uint32(1))
+        # dependency: flip one low mantissa bit of BOTH operands per
+        # element so neither operand's split can be hoisted out of the
+        # loop — each iteration pays the full gemm cost
+        dep = out.lo & np.uint32(1)
+        return a_lo ^ dep[: a_lo.shape[0], : a_lo.shape[1]], b_lo ^ dep
 
-    b_hi, b_lo = jax.lax.fori_loop(0, iters, body, (b_hi, b_lo))
+    a_lo, b_lo = jax.lax.fori_loop(0, iters, body, (a_lo, b_lo))
     return jnp.sum(b_lo.astype(jnp.uint32) & np.uint32(1), dtype=jnp.int32)
 
 
