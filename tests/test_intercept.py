@@ -176,3 +176,33 @@ class TestComplexAndBatched:
         ref = np.einsum("bmk,bkn->bmn", np.asarray(a), np.asarray(b))
         rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
         assert rel < 1e-15
+
+
+class TestTallSkinny:
+    """BASELINE configs[3]: tall-skinny + huge-k rerouting."""
+
+    def test_huge_k_65536(self):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = 8
+        h.intercept_threshold_k = 1024
+        rng = np.random.default_rng(40)
+        a = jnp.asarray(rng.uniform(size=(8, 65536)), dtype=jnp.float64)
+        b = jnp.asarray(rng.uniform(size=(65536, 8)), dtype=jnp.float64)
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+            c = jnp.dot(a, b)
+        ref = np.asarray(a) @ np.asarray(b)
+        rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
+        assert rel < 1e-15
+
+    def test_tall_skinny(self):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_k = 64
+        h.intercept_threshold_n = 1
+        rng = np.random.default_rng(41)
+        a = jnp.asarray(rng.normal(size=(4096, 128)), dtype=jnp.float64)
+        b = jnp.asarray(rng.normal(size=(128, 4)), dtype=jnp.float64)
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+            c = a @ b
+        ref = np.asarray(a) @ np.asarray(b)
+        rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
+        assert rel < 1e-15
