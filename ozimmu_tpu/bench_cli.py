@@ -42,26 +42,22 @@ def _run_case(
     test_count: int,
     error_threshold: float = 0.0,
 ) -> int:
-    import jax
-
     import ozimmu_tpu as oz
-    from ozimmu_tpu.testing import error_metrics, generate_input
+    from ozimmu_tpu.testing import effective_tflops, error_metrics, generate_input
 
     complex_ = gemm_kind == "zgemm"
     a = generate_input(input_mode, (m, k) if op_a == "N" else (k, m), seed=0, complex_=complex_)
     b = generate_input(input_mode, (k, n) if op_b == "N" else (n, k), seed=1, complex_=complex_)
 
     c = oz.gemm(a, b, mode=mode, op_a=op_a, op_b=op_b)
-    ae = a if op_a == "N" else a.T
-    be = b if op_b == "N" else b.T
+    ae = np.ascontiguousarray(a if op_a == "N" else a.T)
+    be = np.ascontiguousarray(b if op_b == "N" else b.T)
     err = error_metrics(c, ae, be)
 
-    t0 = time.perf_counter()
-    for _ in range(test_count):
-        out = oz.gemm(a, b, mode=mode, op_a=op_a, op_b=op_b)
-    jax.block_until_ready(jax.numpy.zeros(()))
-    dt = (time.perf_counter() - t0) / test_count
-    tflops = 2 * m * n * k / dt * (4 if complex_ else 1) / 1e12
+    if test_count > 0:
+        tflops = effective_tflops(ae, be, mode, test_count)
+    else:
+        tflops = float("nan")
 
     print(
         f"{_device_name()},{'Z' if complex_ else 'D'},{input_mode},{mode},"
@@ -102,7 +98,8 @@ def run_ci_test(sizes=(1023, 1024, 1025)) -> int:
                             total += 1
                             num_errors += _run_case(
                                 kind, "urand01", mode, op_a, op_b, m, n, k,
-                                test_count=1, error_threshold=1e-15,
+                                test_count=0,  # accuracy gate, skip timing
+                                error_threshold=1e-15,
                             )
     print(f"{total - num_errors:5d} / {total:5d} PASSED", flush=True)
     return 1 if num_errors else 0
@@ -119,14 +116,13 @@ def run_matfile(path_a: str, path_b: str, modes, test_count: int) -> int:
     m, k = a.shape
     n = b.shape[1]
     complex_ = np.iscomplexobj(a)
+    from ozimmu_tpu.testing import effective_tflops
+
     print("device,gemm,input,mode,opA,opB,m,n,k,residual,max_relative,tflops")
     for mode in modes:
-        t0 = time.perf_counter()
-        for _ in range(test_count):
-            c = oz.gemm(a, b, mode=mode)
-        dt = (time.perf_counter() - t0) / test_count
+        c = oz.gemm(a, b, mode=mode)
         err = error_metrics(c, a, b)
-        tflops = 2 * m * n * k / dt * (4 if complex_ else 1) / 1e12
+        tflops = effective_tflops(a, b, mode, test_count)
         print(
             f"{_device_name()},{'Z' if complex_ else 'D'},matfile,{mode},N,N,"
             f"{m},{n},{k},{err['relative_residual']:e},"
@@ -142,22 +138,24 @@ def run_power(gemm_kind: str, mode: str, size: int, min_seconds: float) -> int:
     W and GFLOPS/W).  TPU device power counters are not exposed through
     JAX/libtpu on this platform, so watts are reported as n/a and the
     sustained effective TFLOPS is the efficiency surface."""
-    import jax
-
-    import ozimmu_tpu as oz
-    from ozimmu_tpu.testing import generate_input
+    from ozimmu_tpu.testing import effective_tflops, generate_input
 
     complex_ = gemm_kind == "zgemm"
     a = generate_input("urand01", (size, size), seed=0, complex_=complex_)
     b = generate_input("urand01", (size, size), seed=1, complex_=complex_)
-    oz.gemm(a, b, mode=mode)  # warm / compile
-    n_iter = 0
+    # calibrate per-GEMM time, then run dependent chains until the budget
+    # is spent (the sustained-load equivalent of the reference's >=10 s
+    # NVML-sampled loop)
+    tflops = effective_tflops(a, b, mode, test_count=4)
+    per_gemm = 2 * size**3 * (4 if complex_ else 1) / 1e12 / max(tflops, 1e-9)
+    n_iter = 8
     t0 = time.perf_counter()
+    total = 0
     while time.perf_counter() - t0 < min_seconds:
-        oz.gemm(a, b, mode=mode)
-        n_iter += 1
-    dt = (time.perf_counter() - t0) / max(n_iter, 1)
-    tflops = 2 * size**3 / dt * (4 if complex_ else 1) / 1e12
+        tflops = effective_tflops(a, b, mode, test_count=n_iter)
+        total += 3 * n_iter  # warmup + two timed runs
+    dt = per_gemm
+    n_iter = total
     print(
         f"power,{_device_name()},{mode},m=n=k={size},iters={n_iter},"
         f"avg_time={dt:.4f}s,tflops={tflops:.3f},watts=n/a,gflops_per_w=n/a",

@@ -77,3 +77,121 @@ def error_metrics(
         "relative_residual": residual,
         "max_relative_error": float(np.max(rel)),
     }
+
+
+def effective_tflops(
+    a: np.ndarray,
+    b: np.ndarray,
+    mode,
+    test_count: int = 8,
+) -> float:
+    """Sustained effective FP64 TFLOPS of one GEMM, measured properly.
+
+    Eager per-call timing is meaningless on remote-tunnel TPU setups
+    (multi-ms dispatch latency, unreliable ``block_until_ready``), so this
+    runs ``test_count`` DEPENDENT iterations inside a single jit — each
+    iteration perturbs one low mantissa bit of both operands from the
+    previous output, forcing real execution of the full pipeline — and
+    differences two run lengths to cancel fixed overheads.  Sync is a
+    1-element device_get.  Operands must already have transposes applied.
+    """
+    import time
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    from .core.f64x import F64X
+    from .types import ComputeMode
+
+    mode = ComputeMode.parse(mode)
+    complex_ = np.iscomplexobj(a) or np.iscomplexobj(b)
+    m, k = a.shape
+    n = b.shape[1]
+    flops = 2 * m * n * k * (4 if complex_ else 1)
+
+    def sync(r):
+        leaf = jax.tree_util.tree_leaves(r)[-1]
+        np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+    if mode.is_int8 and not complex_:
+        from .core.gemm import _gemm_core
+
+        ns = mode.num_split
+        ax = F64X.from_numpy(np.ascontiguousarray(a, np.float64))
+        bx = F64X.from_numpy(np.ascontiguousarray(b, np.float64))
+
+        @partial(jax.jit, static_argnums=(4,))
+        def run(a_hi, a_lo, b_hi, b_lo, iters):
+            def body(i, carry):
+                a_lo, b_lo = carry
+                out = _gemm_core(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, 1.0, 0.0)
+                dep = out.lo & np.uint32(1)
+                return (
+                    a_lo ^ dep[: a_lo.shape[0], : a_lo.shape[1]],
+                    b_lo ^ dep[: b_lo.shape[0], : b_lo.shape[1]],
+                )
+
+            return jax.lax.fori_loop(0, iters, body, (a_lo, b_lo))
+
+        args = (ax.hi, ax.lo, bx.hi, bx.lo)
+    elif mode.is_int8 and complex_:
+        from .core.gemm import _zgemm_core
+
+        ns = mode.num_split
+        ar = F64X.from_numpy(np.ascontiguousarray(a.real))
+        ai = F64X.from_numpy(np.ascontiguousarray(a.imag))
+        br = F64X.from_numpy(np.ascontiguousarray(b.real))
+        bi = F64X.from_numpy(np.ascontiguousarray(b.imag))
+
+        @partial(jax.jit, static_argnums=(4,))
+        def run(ar_lo, ai_lo, br_lo, bi_lo, iters):
+            def body(i, carry):
+                ar_lo, br_lo = carry
+                out_re, out_im = _zgemm_core(
+                    F64X(ar.hi, ar_lo), F64X(ai.hi, ai.lo),
+                    F64X(br.hi, br_lo), F64X(bi.hi, bi.lo),
+                    ns, 1.0 + 0j, 0.0 + 0j,
+                )
+                dep = out_re.lo & np.uint32(1)
+                return (
+                    ar_lo ^ dep[: ar_lo.shape[0], : ar_lo.shape[1]],
+                    br_lo ^ dep[: br_lo.shape[0], : br_lo.shape[1]],
+                )
+
+            return jax.lax.fori_loop(0, iters, body, (ar_lo, br_lo))
+
+        args = (ar.lo, ai.lo, br.lo, bi.lo)
+    else:
+        # native paths: dgemm (platform f64) / sgemm (f32 demotion)
+        import jax.numpy as jnp
+
+        dt = jnp.float32 if mode is ComputeMode.SGEMM else jnp.float64
+        if complex_:
+            dt = jnp.complex64 if mode is ComputeMode.SGEMM else jnp.complex128
+        aj = jnp.asarray(a, dtype=dt)
+        bj = jnp.asarray(b, dtype=dt)
+
+        @partial(jax.jit, static_argnums=(2,))
+        def run(aj, bj, iters):
+            def body(i, bj):
+                c = jnp.matmul(aj, bj, preferred_element_type=dt)
+                return bj + c * np.asarray(1e-30, dtype=np.float32).astype(dt)
+
+            return jax.lax.fori_loop(0, iters, body, bj)
+
+        args = (aj, bj)
+
+    def t(iters):
+        r = run(*args, iters)
+        sync(r)
+        t0 = time.perf_counter()
+        r = run(*args, iters)
+        sync(r)
+        return time.perf_counter() - t0
+
+    n1 = max(1, test_count)
+    t1 = t(n1)
+    t2 = t(2 * n1)
+    per = max((t2 - t1) / n1, 1e-9)
+    return flops / per / 1e12

@@ -11,7 +11,13 @@ import os
 # session environment presets JAX_PLATFORMS (e.g. to a TPU tunnel), and
 # remote compiles make the suite orders of magnitude slower.  The engine's
 # integer/f32 numerics are backend-invariant (validated on real TPU).
-os.environ["JAX_PLATFORMS"] = os.environ.get("OZ_TEST_PLATFORM", "cpu")
+_plat = os.environ.get("OZ_TEST_PLATFORM", "cpu")
+if _plat == "tpu":
+    # Let jax auto-pick the available TPU plugin: remote-tunnel setups
+    # register devices with platform name "tpu" under a differently-named
+    # plugin, so pinning JAX_PLATFORMS="tpu" fails there.
+    _plat = ""
+os.environ["JAX_PLATFORMS"] = _plat
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
