@@ -147,14 +147,12 @@ def run_power(gemm_kind: str, mode: str, size: int, min_seconds: float) -> int:
     # is spent (the sustained-load equivalent of the reference's >=10 s
     # NVML-sampled loop)
     tflops = effective_tflops(a, b, mode, test_count=4)
-    per_gemm = 2 * size**3 * (4 if complex_ else 1) / 1e12 / max(tflops, 1e-9)
-    n_iter = 8
     t0 = time.perf_counter()
     total = 0
     while time.perf_counter() - t0 < min_seconds:
-        tflops = effective_tflops(a, b, mode, test_count=n_iter)
-        total += 3 * n_iter  # warmup + two timed runs
-    dt = per_gemm
+        tflops = effective_tflops(a, b, mode, test_count=8)
+        total += 3 * 8 * 2  # (warmup + timed) x two run lengths, avg
+    dt = 2 * size**3 * (4 if complex_ else 1) / 1e12 / max(tflops, 1e-9)
     n_iter = total
     print(
         f"power,{_device_name()},{mode},m=n=k={size},iters={n_iter},"
