@@ -218,6 +218,8 @@ def _patched_dot_general(lhs, rhs, dimension_numbers, *args, **kwargs):
         return orig(lhs, rhs, dimension_numbers, *args, **kwargs)
     try:
         ((lc, rc), (lb, rb)) = dimension_numbers
+        # callers pass contraction/batch dims as tuples OR lists
+        lc, rc, lb, rb = tuple(lc), tuple(rc), tuple(lb), tuple(rb)
         handle = tls.handle or default_handle()
         mode = _current_mode(handle)
         ldt = getattr(lhs, "dtype", None)
@@ -269,16 +271,40 @@ def _patched_dot_general(lhs, rhs, dimension_numbers, *args, **kwargs):
 
 
 def enable(mode=None, handle: Optional[Handle] = None) -> None:
-    """Globally patch jnp/lax matmul entry points."""
+    """Globally patch jnp/lax matmul entry points.
+
+    Three patch points are required (verified by bitwise-vs-engine tests):
+
+    * ``jax._src.lax.lax.dot_general`` — the DEFINING module.  jnp.dot,
+      jnp.matmul, ``@`` and tensordot resolve ``lax.dot_general`` as a
+      module attribute at call time against this module, so patching only
+      the public re-export would silently miss every jnp entry point.
+    * ``jax.lax.dot_general`` — the public re-export, for direct callers.
+    * ``jnp.einsum`` captured the original function as an import-time
+      keyword DEFAULT (``_dot_general=lax.dot_general``), so its
+      ``__kwdefaults__`` entry is swapped to the patched function.
+    """
     tls = _tls()
     if not _orig:
-        _orig["dot_general"] = jax.lax.dot_general
+        import jax._src.lax.lax as _lax_internal
+        import jax._src.numpy.einsum as _einsum_mod
+
+        _orig["dot_general"] = _lax_internal.dot_general
+        _lax_internal.dot_general = _patched_dot_general
         jax.lax.dot_general = _patched_dot_general
-        # jnp.dot/matmul/einsum lower to lax.dot_general at trace time, so
-        # the single patch point covers them (verified in tests).
+        for fn in (_einsum_mod.einsum, getattr(jnp, "einsum", None)):
+            kwd = getattr(fn, "__kwdefaults__", None) or {}
+            if kwd.get("_dot_general") is _orig["dot_general"]:
+                kwd["_dot_general"] = _patched_dot_general
     tls.active = True
     tls.mode = ComputeMode.parse(mode) if mode is not None else None
     tls.handle = handle
+    # jnp.dot/matmul are themselves jit-wrapped: traces cached BEFORE this
+    # call baked in the original dot_general and would keep serving the
+    # native path (and vice versa after disable).  Clearing the trace
+    # caches restores per-call semantics — the LD_PRELOAD behavior the
+    # reference shim has by construction.
+    jax.clear_caches()
     log("interception enabled")
 
 
@@ -287,6 +313,7 @@ def disable() -> None:
     tls.active = False
     tls.mode = None
     tls.handle = None
+    jax.clear_caches()
     log("interception disabled")
 
 
@@ -298,3 +325,4 @@ def intercept(mode=None, handle: Optional[Handle] = None):
         yield
     finally:
         _tls().active, _tls().mode, _tls().handle = prev
+        jax.clear_caches()

@@ -35,6 +35,20 @@ class TestTracedConversion:
         np.testing.assert_array_equal(back, x)
 
 
+
+
+def _engine(a, b, mode="fp64_int8_9"):
+    return oz.matmul(np.asarray(a), np.asarray(b), mode=mode)
+
+
+def _assert_engine(c, a, b, mode="fp64_int8_9"):
+    """The ONLY reliable rerouting check on CPU: bitwise equality with the
+    direct engine result (residual gates cannot tell native f64 apart)."""
+    np.testing.assert_array_equal(
+        np.asarray(c).view(np.uint64), _engine(a, b, mode).view(np.uint64)
+    )
+
+
 class TestInterception:
     def test_reroutes_above_threshold(self):
         # thresholds default to 1024; shrink them for the test
@@ -43,8 +57,7 @@ class TestInterception:
         a, b = _mk(64, 64, 64, seed=2)
         with ozi.intercept(mode="fp64_int8_9", handle=h):
             c = jnp.dot(a, b)
-        err = error_metrics(np.asarray(c), np.asarray(a), np.asarray(b))
-        assert err["relative_residual"] < 1e-15
+        _assert_engine(c, a, b)
 
     def test_small_gemm_falls_through(self):
         h = oz.create()
@@ -72,9 +85,8 @@ class TestInterception:
             c1 = np.asarray(a @ b)
             c2 = np.asarray(jnp.matmul(a, b))
             c3 = np.asarray(jnp.einsum("mk,kn->mn", a, b))
-        ref = np.asarray(a) @ np.asarray(b)
         for c in (c1, c2, c3):
-            np.testing.assert_allclose(c, ref, rtol=1e-14)
+            _assert_engine(c, a, b)
 
     def test_under_jit(self):
         h = oz.create()
@@ -87,8 +99,9 @@ class TestInterception:
                 return jnp.dot(x, y) + 1.0
 
             c = np.asarray(f(a, b))
-        ref = np.asarray(a) @ np.asarray(b) + 1.0
-        np.testing.assert_allclose(c, ref, rtol=1e-14)
+        np.testing.assert_array_equal(
+            c, _engine(a, b) + 1.0
+        )
 
     def test_transposed_dot_general(self):
         h = oz.create()
@@ -97,20 +110,20 @@ class TestInterception:
         with ozi.intercept(mode="fp64_int8_9", handle=h):
             # a.T @ b.T patterns via einsum: 'km,nk->mn'
             c = np.asarray(jnp.einsum("km,nk->mn", a.T, b.T))
-        np.testing.assert_allclose(c, np.asarray(a) @ np.asarray(b), rtol=1e-14)
+        _assert_engine(c, a, b)
 
     def test_env_mode_read_per_call(self, monkeypatch):
         h = oz.create()
         h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 16
         a, b = _mk(32, 32, 32, seed=8)
-        ozi.enable(handle=h)  # no pinned mode -> env read per call
+        ozi.enable(handle=h)  # no pinned mode -> env read per trace
         monkeypatch.setenv("OZIMMU_COMPUTE_MODE", "dgemm")
         native = np.asarray(jnp.dot(a, b))
         monkeypatch.setenv("OZIMMU_COMPUTE_MODE", "fp64_int8_9")
+        jax.clear_caches()  # jnp.dot's jit cache still holds the dgemm trace
         routed = np.asarray(jnp.dot(a, b))
-        err = error_metrics(routed, np.asarray(a), np.asarray(b))
-        assert err["relative_residual"] < 1e-15
-        assert routed.shape == native.shape
+        _assert_engine(routed, a, b)
+        assert not np.array_equal(routed, native)
 
     def test_auto_mode_eager(self):
         h = oz.create()
@@ -128,7 +141,7 @@ class TestInterception:
         a, b = _mk(32, 32, 32, seed=10)
         with ozi.intercept(mode="fp64_int8_9", handle=h):
             c = np.asarray(jnp.dot(a, b))
-        np.testing.assert_allclose(c, np.asarray(a) @ np.asarray(b), rtol=1e-14)
+        _assert_engine(c, a, b)
 
 
 class TestComplexAndBatched:
@@ -143,9 +156,10 @@ class TestComplexAndBatched:
         b = jnp.asarray(rng.normal(size=(64, 48)) + 1j * rng.normal(size=(64, 48)))
         with ozi.intercept(mode="fp64_int8_9", handle=self._handle()):
             c = jnp.dot(a, b)
-        ref = np.asarray(a) @ np.asarray(b)
-        rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
-        assert rel < 1e-15
+        eng = oz.gemm(np.asarray(a), np.asarray(b), mode="fp64_int8_9")
+        np.testing.assert_array_equal(
+            np.asarray(c).view(np.uint64), eng.view(np.uint64)
+        )
 
     def test_complex_under_jit(self):
         rng = np.random.default_rng(21)
@@ -153,9 +167,10 @@ class TestComplexAndBatched:
         b = jnp.asarray(rng.normal(size=(64, 32)) + 1j * rng.normal(size=(64, 32)))
         with ozi.intercept(mode="fp64_int8_10", handle=self._handle()):
             c = jax.jit(jnp.matmul)(a, b)
-        ref = np.asarray(a) @ np.asarray(b)
-        rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
-        assert rel < 1e-15
+        eng = oz.gemm(np.asarray(a), np.asarray(b), mode="fp64_int8_10")
+        np.testing.assert_array_equal(
+            np.asarray(c).view(np.uint64), eng.view(np.uint64)
+        )
 
     def test_batched_rerouted(self):
         rng = np.random.default_rng(22)
@@ -163,9 +178,10 @@ class TestComplexAndBatched:
         b = jnp.asarray(rng.uniform(size=(3, 64, 32)), dtype=jnp.float64)
         with ozi.intercept(mode="fp64_int8_9", handle=self._handle()):
             c = jnp.matmul(a, b)
-        ref = np.einsum("bmk,bkn->bmn", np.asarray(a), np.asarray(b))
-        rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
-        assert rel < 1e-15
+        eng = oz.gemm_batched(np.asarray(a), np.asarray(b), mode="fp64_int8_9")
+        np.testing.assert_array_equal(
+            np.asarray(c).view(np.uint64), eng.view(np.uint64)
+        )
 
     def test_batched_auto_under_jit(self):
         rng = np.random.default_rng(23)
@@ -206,3 +222,28 @@ class TestTallSkinny:
         ref = np.asarray(a) @ np.asarray(b)
         rel = np.linalg.norm(np.asarray(c) - ref) / np.linalg.norm(ref)
         assert rel < 1e-15
+
+
+class TestTraceCacheSemantics:
+    """Regression: jnp.dot/matmul are jit-wrapped — traces cached before
+    enable() must not keep serving the native path (and vice versa)."""
+
+    def test_pretraced_native_gets_rerouted(self):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 16
+        a, b = _mk(40, 40, 40, seed=11)
+        native = np.asarray(jnp.dot(a, b))  # trace cached pre-enable
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+            routed = np.asarray(jnp.dot(a, b))
+        _assert_engine(routed, a, b)
+        assert not np.array_equal(routed, native)
+
+    def test_disable_restores_native(self):
+        h = oz.create()
+        h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 16
+        a, b = _mk(40, 40, 40, seed=12)
+        with ozi.intercept(mode="fp64_int8_9", handle=h):
+            routed = np.asarray(jnp.dot(a, b))
+        after = np.asarray(jnp.dot(a, b))
+        assert not np.array_equal(after, routed)
+        np.testing.assert_allclose(after, np.asarray(a) @ np.asarray(b), rtol=1e-15)
