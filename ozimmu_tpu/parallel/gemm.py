@@ -111,6 +111,73 @@ def sharded_gemm_fn(
     return fn
 
 
+def sharded_gemm_k_fn(
+    mesh: Mesh,
+    num_split: int,
+    k_global: int,
+    axis_k: str = "k",
+):
+    """1D k-sharded (contraction-parallel) DGEMM: A [m, k/P], B [k/P, n].
+
+    The third parallelism strategy, for the tall-contraction regime
+    (huge k, modest m*n — e.g. Gram matrices, reductions of long feature
+    streams) where 2D SUMMA sharding has nothing to split.  Each device
+    computes its local int32 group totals (exact partials of the full-k
+    contraction, overflow-safe by the schedule's chunk cap) and a
+    ``psum_scatter`` along the k axis both reduces them and leaves C
+    row-sharded — int32 sums are order-independent, so the result is
+    bit-identical to the single-chip engine.  Cross-chip traffic is the
+    int32 group totals (the m*n-proportional analogue of the int8-plane
+    gathers of the other variants).
+
+    In/out: A, B sharded ``P(None, 'k')`` / ``P('k', None)``; C comes
+    back ``P('k', None)`` (row-sharded).  m must divide by the mesh size.
+    """
+    b = bits_per_int8(k_global)
+    if b <= 0:
+        raise ValueError(f"global k={k_global} too large for int8 emulation")
+    from ..ops.recombine import fold_group_totals, group_totals
+
+    spec_a = P(None, axis_k)
+    spec_b = P(axis_k, None)
+    spec_c = P(axis_k, None)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec_a, spec_a, spec_b, spec_b),
+        out_specs=(spec_c, spec_c),
+        check_vma=False,
+    )
+    def _kernel(a_hi, a_lo, b_hi, b_lo):
+        a = F64X(a_hi, a_lo)  # local [m, k/P]
+        bm = F64X(b_hi, b_lo)  # local [k/P, n]
+
+        da, pa = _local_split(a, axis_k, num_split, b, axis=1)
+        db, pb = _local_split(bm, axis_k, num_split, b, axis=0)
+
+        totals = group_totals(da, db, num_split, k_global, b)
+        # reduce the exact int32 partials over k AND scatter C rows
+        totals = [
+            jax.lax.psum_scatter(t, axis_k, scatter_dimension=0, tiled=True)
+            for t in totals
+        ]
+        S = fold_group_totals(totals, num_split, k_global, b)
+        # row scales for the local row chunk
+        m_local = totals[0].shape[0]
+        row0 = jax.lax.axis_index(axis_k) * m_local
+        pa_c = jax.lax.dynamic_slice_in_dim(pa, row0, m_local)
+        E = (pa_c[:, None] + pb[None, :] - acc_shift(num_split, b)).astype(jnp.int32)
+        out = pack_f64x(S, E)
+        return out.hi, out.lo
+
+    def fn(a: F64X, bm: F64X) -> F64X:
+        hi, lo = _kernel(a.hi, a.lo, bm.hi, bm.lo)
+        return F64X(hi, lo)
+
+    return fn
+
+
 def sharded_gemm_ring_fn(
     mesh: Mesh,
     num_split: int,

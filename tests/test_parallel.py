@@ -119,3 +119,41 @@ class TestRingGemm:
         rect = make_mesh_2d(8)  # 2x4
         with pytest.raises(ValueError, match="square"):
             sharded_gemm_ring_fn(rect, 9, 128)
+
+
+class TestKShardedGemm:
+    """1D contraction-parallel variant (sharded_gemm_k_fn)."""
+
+    def _run(self, m, k, n, ns, seed):
+        from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+        from ozimmu_tpu.core.f64x import F64X
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_k_fn
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        mesh = Mesh(np.array(jax.devices()[:8]), ("k",))
+        a = generate_input("normal01", (m, k), seed=seed)
+        b = generate_input("normal01", (k, n), seed=seed + 1)
+        ax = F64X.from_numpy(a)
+        bx = F64X.from_numpy(b)
+        sa = NamedSharding(mesh, P(None, "k"))
+        sb = NamedSharding(mesh, P("k", None))
+        ax = F64X(jax.device_put(ax.hi, sa), jax.device_put(ax.lo, sa))
+        bx = F64X(jax.device_put(bx.hi, sb), jax.device_put(bx.lo, sb))
+        fn = jax.jit(sharded_gemm_k_fn(mesh, ns, k))
+        out = fn(ax, bx).to_numpy().reshape(m, n)
+        return out, a, b
+
+    def test_bitwise_same_as_local_engine(self):
+        import ozimmu_tpu as oz
+
+        c, a, b = self._run(64, 512, 48, 9, seed=40)
+        c_local = oz.gemm(a, b, mode="fp64_int8_9")
+        np.testing.assert_array_equal(
+            c.view(np.uint64), c_local.view(np.uint64)
+        )
+
+    def test_huge_k_accuracy(self):
+        c, a, b = self._run(16, 4096, 16, 10, seed=41)
+        assert error_metrics(c, a, b)["relative_residual"] < 1e-15
