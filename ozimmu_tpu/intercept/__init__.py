@@ -50,7 +50,7 @@ from ..ops import tf32x3
 from ..ops.pack import pack_f64x, unpack_f64x
 from ..types import ComputeMode
 from ..utils.env import env_compute_mode, env_flag
-from ..utils.log import log
+from ..utils.log import error, log
 from ..utils.profiling import culip_timer
 
 _state = threading.local()
@@ -265,8 +265,12 @@ def _patched_dot_general(lhs, rhs, dimension_numbers, *args, **kwargs):
                     )
                 if r is not None:
                     return r
-    except Exception:  # pragma: no cover - fall back to native on any issue
+    except Exception as e:  # fall back to native on any issue — but LOUDLY
+        # (a silent fallback once masked three rerouting bugs; the error
+        # channel is on by default, reference utils.hpp:133-137 logs its
+        # fallbacks the same way)
         tls.in_engine = False
+        error(f"interception fell back to native: {type(e).__name__}: {e}")
     return orig(lhs, rhs, dimension_numbers, *args, **kwargs)
 
 
