@@ -1,0 +1,13 @@
+#!/bin/bash
+# chunked full CI matrix: one process per (kind, mode) to bound memory
+LOG=/tmp/ci_full_results.log
+: > $LOG
+for kind in False True; do
+  for ns in 8 9 10 11 12 13 14 15 16; do
+    OZ_CI_FULL=1 nice -n 10 python -m pytest \
+      "tests/test_ci_matrix.py::test_ci_full_matrix" \
+      -k "${kind}- and fp64_int8_${ns}]" -q --no-header -p no:cacheprovider 2>&1 \
+      | tail -1 | sed "s/^/kind=${kind} ns=${ns}: /" >> $LOG
+  done
+done
+echo DONE >> $LOG
