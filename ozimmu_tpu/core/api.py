@@ -341,6 +341,16 @@ def gemm_batched(
         bx = F64X.from_numpy(np.ascontiguousarray(np.swapaxes(b, 1, 2).reshape(-1, k)))
         mode_r = _auto_mode_select_core(ax, bx, k, handle.avg_mantissa_loss_threshold, b_is_cols=False)
         log(f"AUTO selected mode = {mode_r.value} (batched)")
+    if mode_r is ComputeMode.SGEMM:
+        # f32-demoted batch (reference dgemm_f32_batched,
+        # cublas_helper.cu:20-67 semantics): demote, batched f32 matmul,
+        # widen exactly; same epilogue as the 2D path.
+        fn = jax.vmap(_sgemm_core)
+        r = fn(F64X.from_numpy(a), F64X.from_numpy(b))
+        out = r.to_numpy().reshape(a.shape[0], a.shape[1], b.shape[2]) * alpha
+        if beta != 0 and c is not None:
+            out = out + beta * c
+        return out
     if not mode_r.is_int8:
         out = np.einsum("bmk,bkn->bmn", a, b) * alpha
         if beta != 0 and c is not None:
