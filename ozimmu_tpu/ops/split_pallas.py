@@ -149,9 +149,16 @@ def split_digits_pallas(
     R, C = hi.shape
     br = min(block_r, _round_up(R, 8 if axis == 1 else 8))
     bc = min(block_c, _round_up(C, 128))
-    # fit double-buffered in (2 x u32) + out (ns x int8) blocks in ~12 MiB
-    # of the 16 MiB scoped VMEM
-    while 2 * br * bc * (2 * 4 + num_split) > 12 * 1024 * 1024 and (
+    # Scoped-VMEM model, calibrated against the v5e compiler's reported
+    # stack allocations: double-buffered in (2 x u32) + out (ns x int8)
+    # blocks plus ~26 B/elem of kernel-internal funnel temporaries
+    # (measured: ns=10 -> 16.01 MiB, ns=12 -> 17.00 MiB at br*bc=256Ki).
+    # Budget 15.4 MiB of the 16 MiB limit keeps ns<=9 on the full
+    # (256, 1024) blocks (the benchmarked configuration: 15.0 MiB model,
+    # ~15.5 MiB actual) and shrinks ns>=10, which previously OOMed at
+    # compile time on large shapes (model underestimates by ~0.5 MiB of
+    # index/e-block overhead).
+    while br * bc * (2 * (2 * 4 + num_split) + 26) > int(15.4 * 1024 * 1024) and (
         bc > 128 or br > 8
     ):
         # shrink while preserving the (8, 128) tile granule
