@@ -18,7 +18,6 @@ from __future__ import annotations
 import argparse
 import itertools
 import sys
-import time
 
 import numpy as np
 
@@ -132,31 +131,63 @@ def run_matfile(path_a: str, path_b: str, modes, test_count: int) -> int:
     return 0
 
 
+def _probe_power_telemetry():
+    """Probe every known avenue for TPU power counters; None if absent.
+
+    The reference samples NVML (test/main_test.cu:473-498).  TPU
+    equivalents, each probed here so 'n/a' is a documented finding rather
+    than an assumption: (1) sysfs accel power files exposed by some TPU
+    VM kernels, (2) hwmon power/energy counters, (3) the libtpu SDK
+    metrics API (``tpu_metric_service``) when the runtime exports it.
+    On this platform the chip sits behind a remote axon tunnel, so all
+    local probes are expected to miss — but they are real probes.
+    Returns average watts as float, or None.
+    """
+    import glob
+
+    for pat in (
+        "/sys/class/accel/accel*/device/power_usage",  # TPU VM driver
+        "/sys/class/hwmon/hwmon*/power1_input",  # generic hwmon (uW)
+        "/sys/class/hwmon/hwmon*/energy1_input",
+    ):
+        for path in glob.glob(pat):
+            try:
+                with open(path) as f:
+                    v = float(f.read().strip())
+                return v / 1e6  # uW -> W convention for both counters
+            except (OSError, ValueError):
+                continue
+    try:  # libtpu metrics (present on local TPU VMs, not over tunnels)
+        from tpu_info import metrics  # type: ignore
+
+        return float(metrics.get_chip_power()[0])
+    except Exception:
+        return None
+
+
 def run_power(gemm_kind: str, mode: str, size: int, min_seconds: float) -> int:
     """Sustained-throughput loop (reference power mode,
     main_test.cu:408-512: >=10 s NVML-sampled loops reporting TFLOPS, avg
-    W and GFLOPS/W).  TPU device power counters are not exposed through
-    JAX/libtpu on this platform, so watts are reported as n/a and the
-    sustained effective TFLOPS is the efficiency surface."""
-    from ozimmu_tpu.testing import effective_tflops, generate_input
+    W and GFLOPS/W).  All reported fields are measured: ``iters`` counts
+    engine iterations actually executed and ``avg_time`` is elapsed/iters
+    (testing.sustained_run).  Watts come from _probe_power_telemetry();
+    'n/a' means every probe came back empty on this platform."""
+    from ozimmu_tpu.testing import generate_input, sustained_run
 
     complex_ = gemm_kind == "zgemm"
     a = generate_input("urand01", (size, size), seed=0, complex_=complex_)
     b = generate_input("urand01", (size, size), seed=1, complex_=complex_)
-    # calibrate per-GEMM time, then run dependent chains until the budget
-    # is spent (the sustained-load equivalent of the reference's >=10 s
-    # NVML-sampled loop)
-    tflops = effective_tflops(a, b, mode, test_count=4)
-    t0 = time.perf_counter()
-    total = 0
-    while time.perf_counter() - t0 < min_seconds:
-        tflops = effective_tflops(a, b, mode, test_count=8)
-        total += 3 * 8 * 2  # (warmup + timed) x two run lengths, avg
-    dt = 2 * size**3 * (4 if complex_ else 1) / 1e12 / max(tflops, 1e-9)
-    n_iter = total
+    tflops, n_iter, avg_time = sustained_run(a, b, mode, min_seconds=min_seconds)
+    watts = _probe_power_telemetry()
+    if watts is not None:
+        w_s = f"{watts:.1f}"
+        eff_s = f"{tflops * 1e3 / watts:.2f}"
+    else:
+        w_s = eff_s = "n/a"
     print(
         f"power,{_device_name()},{mode},m=n=k={size},iters={n_iter},"
-        f"avg_time={dt:.4f}s,tflops={tflops:.3f},watts=n/a,gflops_per_w=n/a",
+        f"avg_time={avg_time:.4f}s,tflops={tflops:.3f},watts={w_s},"
+        f"gflops_per_w={eff_s}",
         flush=True,
     )
     return 0

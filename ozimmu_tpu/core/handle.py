@@ -126,7 +126,7 @@ def reallocate_working_memory(handle: Handle, gemm_list: GemmList) -> int:
     for op_a, op_b, m, n, k, kind, mode in gemm_list:
         mode = ComputeMode.parse(mode)
         if isinstance(kind, str):
-            kind = ElementKind(kind) if kind in ("real", "complx") else (
+            kind = ElementKind(kind) if kind in ("real", "complex") else (
                 ElementKind.COMPLEX if kind.startswith("c") else ElementKind.REAL
             )
         if mode.is_int8:

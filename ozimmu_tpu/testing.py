@@ -79,23 +79,22 @@ def error_metrics(
     }
 
 
-def effective_tflops(
-    a: np.ndarray,
-    b: np.ndarray,
-    mode,
-    test_count: int = 8,
-) -> float:
-    """Sustained effective FP64 TFLOPS of one GEMM, measured properly.
+def _sync(r):
+    import jax
 
-    Eager per-call timing is meaningless on remote-tunnel TPU setups
-    (multi-ms dispatch latency, unreliable ``block_until_ready``), so this
-    runs ``test_count`` DEPENDENT iterations inside a single jit — each
-    iteration perturbs one low mantissa bit of both operands from the
-    previous output, forcing real execution of the full pipeline — and
-    differences two run lengths to cancel fixed overheads.  Sync is a
-    1-element device_get.  Operands must already have transposes applied.
+    leaf = jax.tree_util.tree_leaves(r)[-1]
+    np.asarray(jax.device_get(leaf.ravel()[:1]))
+
+
+def _make_runner(a: np.ndarray, b: np.ndarray, mode):
+    """Build the dependent-iteration timing chain for one GEMM.
+
+    Returns ``(run, args, flops)`` where ``run(*args, iters)`` executes
+    ``iters`` DEPENDENT engine iterations inside one jit — each iteration
+    perturbs one low mantissa bit of every operand plane from the previous
+    output (a [m,1]/[1,n] broadcast, so rectangular shapes work), forcing
+    real execution of the full pipeline every time.
     """
-    import time
     from functools import partial
 
     import jax
@@ -110,10 +109,6 @@ def effective_tflops(
     n = b.shape[1]
     flops = 2 * m * n * k * (4 if complex_ else 1)
 
-    def sync(r):
-        leaf = jax.tree_util.tree_leaves(r)[-1]
-        np.asarray(jax.device_get(leaf.ravel()[:1]))
-
     if mode.is_int8 and not complex_:
         from .core.gemm import _gemm_core
 
@@ -126,11 +121,9 @@ def effective_tflops(
             def body(i, carry):
                 a_lo, b_lo = carry
                 out = _gemm_core(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, 1.0, 0.0)
-                dep = out.lo & np.uint32(1)
-                return (
-                    a_lo ^ dep[: a_lo.shape[0], : a_lo.shape[1]],
-                    b_lo ^ dep[: b_lo.shape[0], : b_lo.shape[1]],
-                )
+                dep_a = out.lo[:, :1] & np.uint32(1)  # [m, 1] -> bcast [m, k]
+                dep_b = out.lo[:1, :] & np.uint32(1)  # [1, n] -> bcast [k, n]
+                return (a_lo ^ dep_a, b_lo ^ dep_b)
 
             return jax.lax.fori_loop(0, iters, body, (a_lo, b_lo))
 
@@ -147,25 +140,21 @@ def effective_tflops(
         @partial(jax.jit, static_argnums=(4,))
         def run(ar_lo, ai_lo, br_lo, bi_lo, iters):
             def body(i, carry):
-                ar_lo, br_lo = carry
+                ar_lo, ai_lo, br_lo, bi_lo = carry
                 out_re, out_im = _zgemm_core(
-                    F64X(ar.hi, ar_lo), F64X(ai.hi, ai.lo),
-                    F64X(br.hi, br_lo), F64X(bi.hi, bi.lo),
+                    F64X(ar.hi, ar_lo), F64X(ai.hi, ai_lo),
+                    F64X(br.hi, br_lo), F64X(bi.hi, bi_lo),
                     ns, 1.0 + 0j, 0.0 + 0j,
                 )
-                dep = out_re.lo & np.uint32(1)
-                return (
-                    ar_lo ^ dep[: ar_lo.shape[0], : ar_lo.shape[1]],
-                    br_lo ^ dep[: br_lo.shape[0], : br_lo.shape[1]],
-                )
+                dep_a = out_re.lo[:, :1] & np.uint32(1)
+                dep_b = out_im.lo[:1, :] & np.uint32(1)
+                return (ar_lo ^ dep_a, ai_lo ^ dep_a, br_lo ^ dep_b, bi_lo ^ dep_b)
 
-            return jax.lax.fori_loop(0, iters, body, (ar_lo, br_lo))
+            return jax.lax.fori_loop(0, iters, body, (ar_lo, ai_lo, br_lo, bi_lo))
 
         args = (ar.lo, ai.lo, br.lo, bi.lo)
     else:
         # native paths: dgemm (platform f64) / sgemm (f32 demotion)
-        import jax.numpy as jnp
-
         dt = jnp.float32 if mode is ComputeMode.SGEMM else jnp.float64
         if complex_:
             dt = jnp.complex64 if mode is ComputeMode.SGEMM else jnp.complex128
@@ -176,18 +165,39 @@ def effective_tflops(
         def run(aj, bj, iters):
             def body(i, bj):
                 c = jnp.matmul(aj, bj, preferred_element_type=dt)
-                return bj + c * np.asarray(1e-30, dtype=np.float32).astype(dt)
+                # [1, n] slice broadcasts over bj's [k, n] for any m, k
+                return bj + c[:1, :] * np.asarray(1e-30, dtype=np.float32).astype(dt)
 
             return jax.lax.fori_loop(0, iters, body, bj)
 
         args = (aj, bj)
 
+    return run, args, flops
+
+
+def effective_tflops(
+    a: np.ndarray,
+    b: np.ndarray,
+    mode,
+    test_count: int = 8,
+) -> float:
+    """Sustained effective FP64 TFLOPS of one GEMM, measured properly.
+
+    Eager per-call timing is meaningless on remote-tunnel TPU setups
+    (multi-ms dispatch latency, unreliable ``block_until_ready``), so this
+    runs ``test_count`` dependent iterations inside a single jit (see
+    :func:`_make_runner`) and differences two run lengths to cancel fixed
+    overheads.  Sync is a 1-element device_get.  Operands must already
+    have transposes applied.
+    """
+    import time
+
+    run, args, flops = _make_runner(a, b, mode)
+
     def t(iters):
-        r = run(*args, iters)
-        sync(r)
+        _sync(run(*args, iters))
         t0 = time.perf_counter()
-        r = run(*args, iters)
-        sync(r)
+        _sync(run(*args, iters))
         return time.perf_counter() - t0
 
     n1 = max(1, test_count)
@@ -195,3 +205,30 @@ def effective_tflops(
     t2 = t(2 * n1)
     per = max((t2 - t1) / n1, 1e-9)
     return flops / per / 1e12
+
+
+def sustained_run(a: np.ndarray, b: np.ndarray, mode, min_seconds: float = 10.0):
+    """Sustained-load measurement (reference power mode, main_test.cu:408-512).
+
+    Runs dependent-iteration chains back-to-back until ``min_seconds`` of
+    wall clock is spent and reports honest, *measured* numbers:
+    ``(tflops, iters, avg_time_s)`` where ``iters`` counts engine
+    iterations actually executed and ``avg_time_s = elapsed / iters``
+    (chain dispatch overheads included — this is the sustained number, by
+    design slightly below the peak :func:`effective_tflops`).
+    """
+    import time
+
+    run, args, flops = _make_runner(a, b, mode)
+    chunk = 8
+    _sync(run(*args, chunk))  # compile + warm up
+    iters = 0
+    t0 = time.perf_counter()
+    while True:
+        _sync(run(*args, chunk))
+        iters += chunk
+        elapsed = time.perf_counter() - t0
+        if elapsed >= min_seconds:
+            break
+    avg = elapsed / iters
+    return flops / avg / 1e12, iters, avg
