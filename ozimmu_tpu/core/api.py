@@ -97,6 +97,42 @@ def _sgemm_core(a: F64X, b: F64X) -> F64X:
     return from_f32(c32)
 
 
+@partial(jax.jit, inline=True, static_argnums=(4, 5))
+def _csgemm_core(
+    a_re: F64X,
+    a_im: F64X,
+    b_re: F64X,
+    b_im: F64X,
+    alpha: complex,
+    beta: complex,
+    c_re: Optional[F64X] = None,
+    c_im: Optional[F64X] = None,
+):
+    """Complex f32-demoted GEMM on device (reference Cgemm demotion,
+    cublas_helper.cu:123-125,190-216): demote the re/im planes to f32,
+    run 4 real f32 HIGHEST matmuls, apply alpha/beta in f32 (the
+    reference passes cuComplex scalars to cublasCgemm), widen exactly."""
+    a32r, a32i = _f64x_to_f32(a_re), _f64x_to_f32(a_im)
+    b32r, b32i = _f64x_to_f32(b_re), _f64x_to_f32(b_im)
+
+    def dot(x, y):
+        return jnp.dot(
+            x, y, preferred_element_type=jnp.float32, precision=jax.lax.Precision.HIGHEST
+        )
+
+    p_re = dot(a32r, b32r) - dot(a32i, b32i)
+    p_im = dot(a32r, b32i) + dot(a32i, b32r)
+    al_r, al_i = np.float32(alpha.real), np.float32(alpha.imag)
+    o_re = al_r * p_re - al_i * p_im
+    o_im = al_r * p_im + al_i * p_re
+    if beta != 0 and c_re is not None:
+        c32r, c32i = _f64x_to_f32(c_re), _f64x_to_f32(c_im)
+        be_r, be_i = np.float32(beta.real), np.float32(beta.imag)
+        o_re = o_re + be_r * c32r - be_i * c32i
+        o_im = o_im + be_r * c32i + be_i * c32r
+    return from_f32(o_re), from_f32(o_im)
+
+
 # ---------------------------------------------------------------------------
 # staged (profiled) int8 path — same math as core.gemm._gemm_core but as
 # separate dispatches so phases can be timed (reference labels
@@ -123,6 +159,61 @@ def _epilogue(S, pa, pb, num_split, b, alpha, beta, c=None):
             cE = cE + np.int32(be)
         S, E = aligned_add(S, E, ct, cE)
     return pack_f64x(S, E)
+
+
+def _zfold_jit(SEs, alpha, beta, c_re, c_im):
+    from .gemm import _zfold_passes
+
+    m, n = SEs[0][1].shape
+    return _zfold_passes(SEs, m, n, alpha, beta, c_re, c_im)
+
+
+_zfold_j = jax.jit(_zfold_jit, static_argnums=(1, 2))
+
+
+def _zgemm_staged(
+    handle: Handle,
+    a_re: F64X,
+    a_im: F64X,
+    b_re: F64X,
+    b_im: F64X,
+    num_split: int,
+    alpha: complex,
+    beta: complex,
+    c_re: Optional[F64X],
+    c_im: Optional[F64X],
+):
+    """Phase-profiled 4-pass complex engine (reference profiles the
+    complex engine with the same labels as the real one, gemm.cu:412-521)."""
+    from .gemm import ZGEMM_PASSES
+
+    prof = handle.profiler
+    k = a_re.shape[1]
+    bb = bits_per_int8(k)
+    shift = np.int32(acc_shift(num_split, bb))
+    with prof.phase("split_A"):
+        da_re, pa_re = _split_rows(a_re, num_split, bb)
+        da_im, pa_im = _split_rows(a_im, num_split, bb)
+        jax.block_until_ready(da_re)
+    with prof.phase("split_B"):
+        db_re, pb_re = _split_cols(b_re, num_split, bb)
+        db_im, pb_im = _split_cols(b_im, num_split, bb)
+        jax.block_until_ready(db_re)
+    a_planes = {0: (da_re, pa_re), 1: (da_im, pa_im)}
+    b_planes = {0: (db_re, pb_re), 1: (db_im, pb_im)}
+    SEs = []
+    with prof.phase("int8tc+accumulate_in_f64"):
+        for ap, bp in ZGEMM_PASSES:
+            da, pa = a_planes[ap]
+            db, pb = b_planes[bp]
+            S = _recombine_j(da, db, num_split, bb, k)
+            E = (pa[:, None] + pb[None, :] - shift).astype(jnp.int32)
+            SEs.append((S, E))
+        jax.block_until_ready(SEs[-1][0])
+    with prof.phase("copy_result"):
+        out_re, out_im = _zfold_j(SEs, complex(alpha), complex(beta), c_re, c_im)
+        jax.block_until_ready(out_re.hi)
+    return out_re, out_im
 
 
 def _gemm_staged(
@@ -228,10 +319,11 @@ def gemm(
             # platform's own "native FP64"; on CPU: true f64).
             an = jnp.asarray(ax.to_numpy(), dtype=jnp.float64)
             bn = jnp.asarray(bx.to_numpy(), dtype=jnp.float64)
+            if beta != 0.0 and cx is None:
+                raise ValueError("beta != 0 requires c")
             r = _native_f64_dot(an, bn)
             rn = np.asarray(jax.device_get(r), dtype=np.float64)
-            cn = cx.to_numpy() if cx is not None else None
-            rn = alpha * rn + (beta * cn if (beta != 0.0 and cn is not None) else 0.0)
+            rn = alpha * rn + (beta * cx.to_numpy().reshape(m, n) if beta != 0.0 else 0.0)
             out = F64X.from_numpy(rn)
         else:
             raise NotImplementedError(f"mode {mode_r} not implemented")
@@ -279,34 +371,49 @@ def _gemm_complex_np(handle, a, b, mode_r, op_a, op_b, alpha, beta, c):
             )
         log(f"AUTO selected mode = {mode_r.value} (complex)")
 
+    if beta != 0 and c is None:
+        raise ValueError("beta != 0 requires c")
     name = f"ozimmu_zgemm-{mode_r.value}-m{m}-n{n}-k{k}"
     with culip_timer(name):
         if mode_r.is_int8:
             _check_k_supported(k)
             cre = F64X.from_numpy(np.ascontiguousarray(c.real)) if c is not None else None
             cim = F64X.from_numpy(np.ascontiguousarray(c.imag)) if c is not None else None
-            re, im = zgemm_f64x(
-                F64X.from_numpy(np.ascontiguousarray(a.real)),
-                F64X.from_numpy(np.ascontiguousarray(a.imag)),
-                F64X.from_numpy(np.ascontiguousarray(b.real)),
-                F64X.from_numpy(np.ascontiguousarray(b.imag)),
-                mode_r.num_split,
-                alpha=complex(alpha),
-                beta=complex(beta),
-                c_re=cre,
-                c_im=cim,
-            )
+            axr = F64X.from_numpy(np.ascontiguousarray(a.real))
+            axi = F64X.from_numpy(np.ascontiguousarray(a.imag))
+            bxr = F64X.from_numpy(np.ascontiguousarray(b.real))
+            bxi = F64X.from_numpy(np.ascontiguousarray(b.imag))
+            if handle.profiler.enabled:
+                re, im = _zgemm_staged(
+                    handle, axr, axi, bxr, bxi, mode_r.num_split,
+                    complex(alpha), complex(beta), cre, cim,
+                )
+            else:
+                re, im = zgemm_f64x(
+                    axr, axi, bxr, bxi, mode_r.num_split,
+                    alpha=complex(alpha), beta=complex(beta), c_re=cre, c_im=cim,
+                )
             jax.block_until_ready(re.hi)
             out = re.to_numpy().reshape(m, n) + 1j * im.to_numpy().reshape(m, n)
         elif mode_r is ComputeMode.DGEMM:
             out = complex(alpha) * (a @ b)
-            if beta != 0 and c is not None:
+            if beta != 0:
                 out = out + complex(beta) * c
         elif mode_r is ComputeMode.SGEMM:
-            c32 = a.astype(np.complex64) @ b.astype(np.complex64)
-            out = complex(alpha) * c32.astype(np.complex128)
-            if beta != 0 and c is not None:
-                out = out + complex(beta) * c
+            # device-side demotion (reference cublas_helper.cu:123-125):
+            # f32 re/im planes, 4 real f32 HIGHEST matmuls, exact widen
+            re, im = _csgemm_core(
+                F64X.from_numpy(np.ascontiguousarray(a.real)),
+                F64X.from_numpy(np.ascontiguousarray(a.imag)),
+                F64X.from_numpy(np.ascontiguousarray(b.real)),
+                F64X.from_numpy(np.ascontiguousarray(b.imag)),
+                complex(alpha),
+                complex(beta),
+                F64X.from_numpy(np.ascontiguousarray(c.real)) if c is not None else None,
+                F64X.from_numpy(np.ascontiguousarray(c.imag)) if c is not None else None,
+            )
+            jax.block_until_ready(re.hi)
+            out = re.to_numpy().reshape(m, n) + 1j * im.to_numpy().reshape(m, n)
         else:
             raise NotImplementedError(f"mode {mode_r} not implemented (complex)")
     return out
@@ -393,6 +500,28 @@ def _gemm_batched_complex(a, b, mode_r, alpha, beta, c, handle):
                 max(mode_re.num_split, mode_im.num_split)
             )
         log(f"AUTO selected mode = {mode_r.value} (batched complex)")
+    if mode_r is ComputeMode.SGEMM:
+        # f32-demoted complex batch (reference CgemmStridedBatched demotion,
+        # cublas_helper.cu:190-216): vmapped device demote/widen — NOT the
+        # full-precision einsum below.
+        al, be = complex(alpha), complex(beta)
+        if c is None or be == 0:
+            fn = jax.vmap(lambda ar, ai, br, bi: _csgemm_core(ar, ai, br, bi, al, 0j))
+            re, im = fn(
+                F64X.from_numpy(a.real), F64X.from_numpy(a.imag),
+                F64X.from_numpy(b.real), F64X.from_numpy(b.imag),
+            )
+        else:
+            c = np.ascontiguousarray(c, dtype=np.complex128)
+            fn = jax.vmap(
+                lambda ar, ai, br, bi, cr, ci: _csgemm_core(ar, ai, br, bi, al, be, cr, ci)
+            )
+            re, im = fn(
+                F64X.from_numpy(a.real), F64X.from_numpy(a.imag),
+                F64X.from_numpy(b.real), F64X.from_numpy(b.imag),
+                F64X.from_numpy(c.real), F64X.from_numpy(c.imag),
+            )
+        return re.to_numpy().reshape(B, m, n) + 1j * im.to_numpy().reshape(B, m, n)
     if not mode_r.is_int8:
         out = np.einsum("bmk,bkn->bmn", a, b) * complex(alpha)
         if beta != 0 and c is not None:

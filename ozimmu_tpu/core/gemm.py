@@ -92,32 +92,21 @@ def gemm_f64x(
 # ---------------------------------------------------------------------------
 
 
-@partial(jax.jit, static_argnums=(4, 5, 6), inline=True)
-def _zgemm_core(
-    a_re: F64X,
-    a_im: F64X,
-    b_re: F64X,
-    b_im: F64X,
-    num_split: int,
-    alpha: complex,
-    beta: complex,
-    c_re: Optional[F64X] = None,
-    c_im: Optional[F64X] = None,
-):
-    m, k = a_re.shape
-    n = b_re.shape[1]
-    bb = bits_per_int8(k)
-    shift = np.int32(acc_shift(num_split, bb))
+#: the reference's pass order (gemm.cu:479-518): (A-part, B-part) with
+#: 0 = real plane, 1 = imag plane.
+ZGEMM_PASSES = ((1, 1), (0, 0), (1, 0), (0, 1))
 
-    da_re, pa_re = split_f64x(a_re, num_split, bb)
-    da_im, pa_im = split_f64x(a_im, num_split, bb)
-    db_re, pb_re = split_f64x_cols(b_re, num_split, bb)
-    db_im, pb_im = split_f64x_cols(b_im, num_split, bb)
 
-    a_planes = {0: (da_re, pa_re), 1: (da_im, pa_im)}
-    b_planes = {0: (db_re, pb_re), 1: (db_im, pb_im)}
+def _zfold_passes(SEs, m, n, alpha, beta, c_re, c_im):
+    """Fold the four pass results into the complex output (shared by the
+    fused `_zgemm_core` and the staged/profiled path in core.api).
 
-    # out = beta * c, accumulated per real/imag part as (triple, exp)
+    ``SEs`` lists (S, E) per entry of :data:`ZGEMM_PASSES`.  Fold factors
+    (reference gemm.cu:479-518): re*re -> +alpha, im*im -> -alpha, cross
+    terms -> i*alpha; C is pre-scaled by beta (init_c_complex,
+    gemm.cu:199-239).
+    """
+
     def init_part(cp):
         if beta == 0 or cp is None:
             return tf32x3.zeros((m, n)), jnp.full((m, n), -(2**20), dtype=jnp.int32)
@@ -149,14 +138,7 @@ def _zgemm_core(
         acc = cmul_fold(acc, -bi, br, tim, Eim)
         acc_re, acc_im = acc
 
-    # passes over (A-part, B-part): {(im,im), (re,re), (im,re), (re,im)}
-    # fold factors (reference gemm.cu:479-518): re*re -> +alpha,
-    # im*im -> -alpha, cross terms -> i*alpha.
-    for ap, bp in ((1, 1), (0, 0), (1, 0), (0, 1)):
-        da, pa = a_planes[ap]
-        db, pb = b_planes[bp]
-        S = recombine_auto(da, db, num_split, bb, k)
-        E = (pa[:, None] + pb[None, :] - shift).astype(jnp.int32)
+    for (ap, bp), (S, E) in zip(ZGEMM_PASSES, SEs):
         if ap == 0 and bp == 0:
             fold = alpha
         elif ap == 1 and bp == 1:
@@ -168,6 +150,41 @@ def _zgemm_core(
     out_re = pack_f64x(acc_re[0], acc_re[1])
     out_im = pack_f64x(acc_im[0], acc_im[1])
     return out_re, out_im
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6), inline=True)
+def _zgemm_core(
+    a_re: F64X,
+    a_im: F64X,
+    b_re: F64X,
+    b_im: F64X,
+    num_split: int,
+    alpha: complex,
+    beta: complex,
+    c_re: Optional[F64X] = None,
+    c_im: Optional[F64X] = None,
+):
+    m, k = a_re.shape
+    n = b_re.shape[1]
+    bb = bits_per_int8(k)
+    shift = np.int32(acc_shift(num_split, bb))
+
+    da_re, pa_re = split_f64x(a_re, num_split, bb)
+    da_im, pa_im = split_f64x(a_im, num_split, bb)
+    db_re, pb_re = split_f64x_cols(b_re, num_split, bb)
+    db_im, pb_im = split_f64x_cols(b_im, num_split, bb)
+
+    a_planes = {0: (da_re, pa_re), 1: (da_im, pa_im)}
+    b_planes = {0: (db_re, pb_re), 1: (db_im, pb_im)}
+
+    SEs = []
+    for ap, bp in ZGEMM_PASSES:
+        da, pa = a_planes[ap]
+        db, pb = b_planes[bp]
+        S = recombine_auto(da, db, num_split, bb, k)
+        E = (pa[:, None] + pb[None, :] - shift).astype(jnp.int32)
+        SEs.append((S, E))
+    return _zfold_passes(SEs, m, n, alpha, beta, c_re, c_im)
 
 
 def zgemm_f64x(
