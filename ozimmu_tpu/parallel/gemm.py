@@ -38,7 +38,8 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.f64x import F64X
-from ..ops.pack import pack_f64x
+from ..ops import tf32x3
+from ..ops.pack import aligned_add, pack_f64x, scalar_triple, unpack_f64x
 from ..ops.recombine import acc_shift, recombine_auto
 from ..ops.split import row_exponent, split_with_row_exp
 from ..schedule import bits_per_int8
@@ -60,35 +61,89 @@ def _local_split(x: F64X, mesh_axis: Optional[str], ns: int, b: int, axis: int):
     return split_with_row_exp(x, e_row, ns, b, axis=axis)
 
 
+def _epilogue_local(S, E, alpha: float, beta: float, c: Optional[F64X]) -> F64X:
+    """``alpha*(acc) + beta*c`` on the LOCAL C block — the exact single-chip
+    epilogue (core.gemm._gemm_core semantics; reference axby gemm.cu:124-158).
+    It is elementwise, so applying it per shard is distribution-invariant
+    and the result stays bitwise-identical to the single-chip engine."""
+    if alpha != 1.0:
+        at, ae = scalar_triple(alpha)
+        S = tf32x3.mul(S, at)
+        E = E + np.int32(ae)
+    if beta != 0.0:
+        if c is None:
+            raise ValueError("beta != 0 requires c")
+        ct, cE = unpack_f64x(c)
+        if beta != 1.0:
+            bt, be = scalar_triple(beta)
+            ct = tf32x3.mul(ct, bt)
+            cE = cE + np.int32(be)
+        S, E = aligned_add(S, E, ct, cE)
+    return pack_f64x(S, E)
+
+
+def _wrap_kernel(mesh, body, spec_a, spec_b, spec_c, with_c: bool):
+    """shard_map-wrap ``body(a, b[, c]) -> F64X`` over F64X hi/lo planes."""
+    if with_c:
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(spec_a, spec_a, spec_b, spec_b, spec_c, spec_c),
+            out_specs=(spec_c, spec_c),
+            check_vma=False,
+        )
+        def _kernel(a_hi, a_lo, b_hi, b_lo, c_hi, c_lo):
+            out = body(F64X(a_hi, a_lo), F64X(b_hi, b_lo), F64X(c_hi, c_lo))
+            return out.hi, out.lo
+
+        def fn(a: F64X, bm: F64X, c: F64X) -> F64X:
+            hi, lo = _kernel(a.hi, a.lo, bm.hi, bm.lo, c.hi, c.lo)
+            return F64X(hi, lo)
+    else:
+        @partial(
+            shard_map,
+            mesh=mesh,
+            in_specs=(spec_a, spec_a, spec_b, spec_b),
+            out_specs=(spec_c, spec_c),
+            check_vma=False,
+        )
+        def _kernel(a_hi, a_lo, b_hi, b_lo):
+            out = body(F64X(a_hi, a_lo), F64X(b_hi, b_lo), None)
+            return out.hi, out.lo
+
+        def fn(a: F64X, bm: F64X) -> F64X:
+            hi, lo = _kernel(a.hi, a.lo, bm.hi, bm.lo)
+            return F64X(hi, lo)
+
+    return fn
+
+
 def sharded_gemm_fn(
     mesh: Mesh,
     num_split: int,
     k_global: int,
     axis_x: str = "x",
     axis_y: str = "y",
+    alpha: float = 1.0,
+    beta: float = 0.0,
 ):
-    """Build the jittable sharded GEMM: (F64X, F64X) -> F64X.
+    """Build the jittable sharded GEMM computing ``alpha*(a@b) + beta*c``.
 
-    Input A is sharded P(x, y), B is sharded P(x, y), output C is P(x, y).
-    ``k_global`` fixes the chunk-width rule (must be A's global k).
+    Returns ``fn(a, b)`` for beta == 0 or ``fn(a, b, c)`` otherwise — the
+    full reference gemm contract (gemm.cu:524-653), distributed.  Input A
+    is sharded P(x, y), B is sharded P(x, y), C (when present) and the
+    output are P(x, y).  ``k_global`` fixes the chunk-width rule (must be
+    A's global k).
     """
     b = bits_per_int8(k_global)
     if b <= 0:
         raise ValueError(f"global k={k_global} too large for int8 emulation")
+    alpha, beta = float(alpha), float(beta)
 
     spec2d = P(axis_x, axis_y)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(spec2d, spec2d, spec2d, spec2d),
-        out_specs=(spec2d, spec2d),
-        check_vma=False,
-    )
-    def _kernel(a_hi, a_lo, b_hi, b_lo):
-        a = F64X(a_hi, a_lo)  # local block [m/x, k/y]
-        bm = F64X(b_hi, b_lo)  # local block [k/x, n/y]
-
+    def _body(a: F64X, bm: F64X, c: Optional[F64X]) -> F64X:
+        # a: local block [m/x, k/y]; bm: local block [k/x, n/y]
         # 1-2. global row/col exponents + local split (natural layouts,
         # no plane transposes)
         da, pa = _local_split(a, axis_y, num_split, b, axis=1)  # [ns, m/x, k/y]
@@ -98,17 +153,12 @@ def sharded_gemm_fn(
         da_full = jax.lax.all_gather(da, axis_y, axis=2, tiled=True)  # [ns, m/x, k]
         db_full = jax.lax.all_gather(db, axis_x, axis=1, tiled=True)  # [ns, k, n/y]
 
-        # 4. local recombination + pack
+        # 4. local recombination + exact epilogue
         S = recombine_auto(da_full, db_full, num_split, b, k_global)
         E = (pa[:, None] + pb[None, :] - acc_shift(num_split, b)).astype(jnp.int32)
-        out = pack_f64x(S, E)
-        return out.hi, out.lo
+        return _epilogue_local(S, E, alpha, beta, c)
 
-    def fn(a: F64X, bm: F64X) -> F64X:
-        hi, lo = _kernel(a.hi, a.lo, bm.hi, bm.lo)
-        return F64X(hi, lo)
-
-    return fn
+    return _wrap_kernel(mesh, _body, spec2d, spec2d, spec2d, with_c=beta != 0.0)
 
 
 def sharded_gemm_k_fn(
@@ -116,6 +166,8 @@ def sharded_gemm_k_fn(
     num_split: int,
     k_global: int,
     axis_k: str = "k",
+    alpha: float = 1.0,
+    beta: float = 0.0,
 ):
     """1D k-sharded (contraction-parallel) DGEMM: A [m, k/P], B [k/P, n].
 
@@ -136,23 +188,15 @@ def sharded_gemm_k_fn(
     b = bits_per_int8(k_global)
     if b <= 0:
         raise ValueError(f"global k={k_global} too large for int8 emulation")
+    alpha, beta = float(alpha), float(beta)
     from ..ops.recombine import fold_group_totals, group_totals
 
     spec_a = P(None, axis_k)
     spec_b = P(axis_k, None)
     spec_c = P(axis_k, None)
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(spec_a, spec_a, spec_b, spec_b),
-        out_specs=(spec_c, spec_c),
-        check_vma=False,
-    )
-    def _kernel(a_hi, a_lo, b_hi, b_lo):
-        a = F64X(a_hi, a_lo)  # local [m, k/P]
-        bm = F64X(b_hi, b_lo)  # local [k/P, n]
-
+    def _body(a: F64X, bm: F64X, c: Optional[F64X]) -> F64X:
+        # a: local [m, k/P]; bm: local [k/P, n]; c: local rows [m/P, n]
         da, pa = _local_split(a, axis_k, num_split, b, axis=1)
         db, pb = _local_split(bm, axis_k, num_split, b, axis=0)
 
@@ -168,14 +212,9 @@ def sharded_gemm_k_fn(
         row0 = jax.lax.axis_index(axis_k) * m_local
         pa_c = jax.lax.dynamic_slice_in_dim(pa, row0, m_local)
         E = (pa_c[:, None] + pb[None, :] - acc_shift(num_split, b)).astype(jnp.int32)
-        out = pack_f64x(S, E)
-        return out.hi, out.lo
+        return _epilogue_local(S, E, alpha, beta, c)
 
-    def fn(a: F64X, bm: F64X) -> F64X:
-        hi, lo = _kernel(a.hi, a.lo, bm.hi, bm.lo)
-        return F64X(hi, lo)
-
-    return fn
+    return _wrap_kernel(mesh, _body, spec_a, spec_b, spec_c, with_c=beta != 0.0)
 
 
 def sharded_gemm_ring_fn(
@@ -184,6 +223,8 @@ def sharded_gemm_ring_fn(
     k_global: int,
     axis_x: str = "x",
     axis_y: str = "y",
+    alpha: float = 1.0,
+    beta: float = 0.0,
 ):
     """Ring-streamed (Cannon) DGEMM for SQUARE meshes: the huge-problem
     variant.
@@ -209,6 +250,7 @@ def sharded_gemm_ring_fn(
     b = bits_per_int8(k_global)
     if b <= 0:
         raise ValueError(f"global k={k_global} too large for int8 emulation")
+    alpha, beta = float(alpha), float(beta)
     from ..ops.recombine import fold_group_totals, group_totals
 
     x_sz, y_sz = (mesh.shape[axis_x], mesh.shape[axis_y])
@@ -234,17 +276,8 @@ def sharded_gemm_ring_fn(
             r += 1
         return planes
 
-    @partial(
-        shard_map,
-        mesh=mesh,
-        in_specs=(spec2d, spec2d, spec2d, spec2d),
-        out_specs=(spec2d, spec2d),
-        check_vma=False,
-    )
-    def _kernel(a_hi, a_lo, b_hi, b_lo):
-        a = F64X(a_hi, a_lo)  # local block [m/x, k/y]: A k-panel j
-        bm = F64X(b_hi, b_lo)  # local block [k/x, n/y]: B k-panel i
-
+    def _body(a: F64X, bm: F64X, c: Optional[F64X]) -> F64X:
+        # a: local block [m/x, k/y]: A k-panel j; bm: [k/x, n/y]: B k-panel i
         da, pa = _local_split(a, axis_y, num_split, b, axis=1)
         db, pb = _local_split(bm, axis_x, num_split, b, axis=0)
 
@@ -266,12 +299,89 @@ def sharded_gemm_ring_fn(
 
         S = fold_group_totals(totals, num_split, k_global, b)
         E = (pa[:, None] + pb[None, :] - acc_shift(num_split, b)).astype(jnp.int32)
-        out = pack_f64x(S, E)
-        return out.hi, out.lo
+        return _epilogue_local(S, E, alpha, beta, c)
 
-    def fn(a: F64X, bm: F64X) -> F64X:
-        hi, lo = _kernel(a.hi, a.lo, bm.hi, bm.lo)
-        return F64X(hi, lo)
+    return _wrap_kernel(mesh, _body, spec2d, spec2d, spec2d, with_c=beta != 0.0)
+
+
+def sharded_zgemm_fn(
+    mesh: Mesh,
+    num_split: int,
+    k_global: int,
+    axis_x: str = "x",
+    axis_y: str = "y",
+    alpha: complex = 1.0 + 0j,
+    beta: complex = 0.0 + 0j,
+):
+    """Distributed 4-pass complex GEMM: ``alpha*(a@b) + beta*c`` for
+    complex128 operands carried as (re, im) F64X plane pairs.
+
+    The TPU-native ZGEMM scale-out (reference complex engine
+    gemm.cu:412-521 has no distributed analogue): each of the four re/im
+    plane sets is split locally and its int8 planes gathered along the
+    contraction axis exactly like the real SUMMA variant — 2x the planes
+    of DGEMM per operand, still int8-only traffic — then the four
+    recombination passes and the complex fold (shared with the single-chip
+    engine, core.gemm._zfold_passes) run locally per C block.
+
+    Returns ``fn(a_re, a_im, b_re, b_im)`` for beta == 0 or
+    ``fn(a_re, a_im, b_re, b_im, c_re, c_im)`` otherwise; all arrays are
+    F64X sharded P(x, y); output is an (out_re, out_im) F64X pair P(x, y).
+    """
+    from ..core.gemm import ZGEMM_PASSES, _zfold_passes
+
+    b = bits_per_int8(k_global)
+    if b <= 0:
+        raise ValueError(f"global k={k_global} too large for int8 emulation")
+    alpha, beta = complex(alpha), complex(beta)
+    spec2d = P(axis_x, axis_y)
+    shift = acc_shift(num_split, b)
+
+    def _body(a_re, a_im, b_re, b_im, c_re, c_im):
+        a_planes = {}
+        for idx, x in ((0, a_re), (1, a_im)):
+            d, p = _local_split(x, axis_y, num_split, b, axis=1)
+            d = jax.lax.all_gather(d, axis_y, axis=2, tiled=True)
+            a_planes[idx] = (d, p)
+        b_planes = {}
+        for idx, x in ((0, b_re), (1, b_im)):
+            d, p = _local_split(x, axis_x, num_split, b, axis=0)
+            d = jax.lax.all_gather(d, axis_x, axis=1, tiled=True)
+            b_planes[idx] = (d, p)
+        SEs = []
+        for ap, bp in ZGEMM_PASSES:
+            da, pa = a_planes[ap]
+            db, pb = b_planes[bp]
+            S = recombine_auto(da, db, num_split, b, k_global)
+            E = (pa[:, None] + pb[None, :] - np.int32(shift)).astype(jnp.int32)
+            SEs.append((S, E))
+        m_l, n_l = SEs[0][1].shape
+        return _zfold_passes(SEs, m_l, n_l, alpha, beta, c_re, c_im)
+
+    with_c = beta != 0
+    n_in = 12 if with_c else 8
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec2d,) * n_in,
+        out_specs=(spec2d,) * 4,
+        check_vma=False,
+    )
+    def _kernel(*planes):
+        xs = [F64X(planes[2 * i], planes[2 * i + 1]) for i in range(n_in // 2)]
+        if with_c:
+            out_re, out_im = _body(*xs)
+        else:
+            out_re, out_im = _body(*xs, None, None)
+        return out_re.hi, out_re.lo, out_im.hi, out_im.lo
+
+    def fn(*xs):
+        flat = []
+        for x in xs:
+            flat.extend((x.hi, x.lo))
+        rh, rl, ih, il = _kernel(*flat)
+        return F64X(rh, rl), F64X(ih, il)
 
     return fn
 
@@ -284,33 +394,112 @@ def sharded_gemm(
     axis_x: str = "x",
     axis_y: str = "y",
     ring: bool = False,
+    alpha=1.0,
+    beta=0.0,
+    c: Optional[np.ndarray] = None,
 ) -> np.ndarray:
     """Host-convenience wrapper: shard numpy operands, run, gather back.
 
     ``ring=True`` selects the Cannon-streamed variant (square meshes,
     q-fold lower peak memory — for problems whose gathered int8 slabs
-    would not fit in HBM).
+    would not fit in HBM).  Complex128 operands route to the distributed
+    ZGEMM (:func:`sharded_zgemm_fn`, all-gather formulation).
+
+    Dims need not divide the mesh: operands are zero-padded up to shard
+    multiples and the output sliced back.  Zero rows/cols are exact in the
+    engine (zero digit planes, no effect on row/col max exponents), so
+    padding only costs the padded fraction of compute.
     """
+    import math
+
     m, k = a.shape
     k2, n = b.shape
     if k != k2:
         raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    if beta != 0 and c is None:
+        raise ValueError("beta != 0 requires c")
+
+    xs, ys = mesh.shape[axis_x], mesh.shape[axis_y]
+
+    def up(v, q):
+        return -(-v // q) * q
+
+    # A is P(x, y): m | x, k | y.  B is P(x, y): k | x, n | y.
+    m_p, n_p = up(m, xs), up(n, ys)
+    k_p = up(k, xs * ys // math.gcd(xs, ys))
+
+    def pad(x, rows, cols):
+        if x.shape == (rows, cols):
+            return x
+        out = np.zeros((rows, cols), dtype=x.dtype)
+        out[: x.shape[0], : x.shape[1]] = x
+        return out
+
+    if (m_p, n_p, k_p) != (m, n, k):
+        a = pad(np.asarray(a), m_p, k_p)
+        b = pad(np.asarray(b), k_p, n_p)
+        if c is not None:
+            c = pad(np.asarray(c), m_p, n_p)
+        out = sharded_gemm(
+            a, b, num_split, mesh, axis_x, axis_y, ring=ring,
+            alpha=alpha, beta=beta, c=c,
+        )
+        return out[:m, :n]
+
     spec = NamedSharding(mesh, P(axis_x, axis_y))
-    ax = F64X.from_numpy(np.ascontiguousarray(a, np.float64))
-    bx = F64X.from_numpy(np.ascontiguousarray(b, np.float64))
-    ax = F64X(jax.device_put(ax.hi, spec), jax.device_put(ax.lo, spec))
-    bx = F64X(jax.device_put(bx.hi, spec), jax.device_put(bx.lo, spec))
+
+    def put(x) -> F64X:
+        fx = F64X.from_numpy(np.ascontiguousarray(x, np.float64))
+        return F64X(jax.device_put(fx.hi, spec), jax.device_put(fx.lo, spec))
+
+    if np.iscomplexobj(a) or np.iscomplexobj(b):
+        if ring:
+            raise NotImplementedError("ring variant is real-only; use ring=False")
+        a = np.asarray(a, dtype=np.complex128)
+        b = np.asarray(b, dtype=np.complex128)
+        fn = jax.jit(
+            sharded_zgemm_fn(
+                mesh, num_split, k, axis_x, axis_y, complex(alpha), complex(beta)
+            )
+        )
+        ops = [put(a.real), put(a.imag), put(b.real), put(b.imag)]
+        if beta != 0:
+            c = np.asarray(c, dtype=np.complex128)
+            ops += [put(c.real), put(c.imag)]
+        out_re, out_im = fn(*ops)
+        return (
+            out_re.to_numpy().reshape(m, n) + 1j * out_im.to_numpy().reshape(m, n)
+        )
+
     make = sharded_gemm_ring_fn if ring else sharded_gemm_fn
-    fn = jax.jit(make(mesh, num_split, k, axis_x, axis_y))
-    out = fn(ax, bx)
+    fn = jax.jit(make(mesh, num_split, k, axis_x, axis_y, float(alpha), float(beta)))
+    if beta != 0:
+        out = fn(put(a), put(b), put(c))
+    else:
+        out = fn(put(a), put(b))
     return out.to_numpy().reshape(m, n)
 
 
 def make_mesh_2d(n_devices: Optional[int] = None, axis_x: str = "x", axis_y: str = "y") -> Mesh:
-    """Largest 2D mesh (x*y = n) with x as square as possible."""
+    """Largest 2D mesh (x*y = n) with x as square as possible.
+
+    Device order comes from ``mesh_utils.create_device_mesh`` so mesh
+    neighbours are physical ICI neighbours on real TPU slices (ring/SUMMA
+    collectives then ride single-hop links).  Results are device-order
+    independent (the engine's cross-chip sums are exact int32), so the
+    reshape fallback — used for virtual CPU meshes, whose devices have no
+    topology — is bitwise-identical, just slower on real hardware.
+    """
     devs = jax.devices()
     n = n_devices or len(devs)
     x = int(np.floor(np.sqrt(n)))
     while n % x:
         x -= 1
-    return Mesh(np.array(devs[:n]).reshape(x, n // x), (axis_x, axis_y))
+    shape = (x, n // x)
+    try:
+        from jax.experimental import mesh_utils
+
+        arr = mesh_utils.create_device_mesh(shape, devices=devs[:n])
+    except Exception:  # virtual/CPU devices: no topology info to exploit
+        arr = np.array(devs[:n]).reshape(shape)
+    return Mesh(arr, (axis_x, axis_y))
