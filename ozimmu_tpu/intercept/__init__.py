@@ -96,6 +96,117 @@ def f64x_to_f64_traced(x: F64X) -> jax.Array:
 
 
 # ---------------------------------------------------------------------------
+# data-driven AUTO under tracing
+# ---------------------------------------------------------------------------
+
+#: pruned split-count candidates for the traced AUTO switch.  The eager
+#: path sweeps all 16 (reference split.cu:473-493); under ``jit`` each
+#: candidate is a fully compiled engine branch, so the default prunes to
+#: the useful spread (uniform data lands on 8-9, wide-exponent data on
+#: 12-16; anything needing >16 falls back to native, like the reference's
+#: dgemm fallback).  Override with OZIMMU_AUTO_TRACED_CANDIDATES=8,9,...
+_DEFAULT_TRACED_CANDIDATES = (8, 9, 10, 12, 16)
+
+
+def _traced_candidates() -> tuple:
+    import os
+
+    raw = os.environ.get("OZIMMU_AUTO_TRACED_CANDIDATES")
+    if not raw:
+        return _DEFAULT_TRACED_CANDIDATES
+    return tuple(sorted({int(v) for v in raw.split(",")}))
+
+
+def _auto_branch_index(totals, denom: float, threshold: float, cands):
+    """First candidate whose average loss <= threshold, else len(cands)
+    (the native-fallback branch) — the reference selection loop
+    (split.cu:473-493) as pure device ops."""
+    from ..types import MIN_NUM_SPLIT
+
+    idxs = jnp.asarray([ns - MIN_NUM_SPLIT for ns in cands], dtype=jnp.int32)
+    avg = totals.astype(jnp.float32)[idxs] / np.float32(denom)
+    ok = avg <= np.float32(threshold)
+    return jnp.where(jnp.any(ok), jnp.argmax(ok), np.int32(len(cands)))
+
+
+def _route_2d_auto_traced(a, b, handle: Handle):
+    """Live AUTO mode inside a traced program: device-side mantissa-loss
+    totals (reference split.cu:300-518) select one of several fully
+    compiled engine branches via ``lax.switch`` — no host sync, the
+    heuristic stays data-driven under ``jit``."""
+    from ..ops.mantissa_loss import mantissa_loss_totals
+    from ..schedule import bits_per_int8
+
+    cands = _traced_candidates()
+    m, k = a.shape
+    n = b.shape[1]
+    bb = bits_per_int8(k)
+    ax = f64_to_f64x_traced(a)
+    bx = f64_to_f64x_traced(b)
+    totals = mantissa_loss_totals(ax, bb, 1) + mantissa_loss_totals(bx, bb, 0)
+    idx = _auto_branch_index(
+        totals, float(m * k + k * n), handle.avg_mantissa_loss_threshold, cands
+    )
+
+    def eng(ns):
+        return lambda ops: f64x_to_f64_traced(_gemm_core(ops[0], ops[1], ns, 1.0, 0.0))
+
+    def native(ops):
+        return jax.lax.dot_general(
+            ops[2], ops[3], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float64,
+        )
+
+    branches = [eng(ns) for ns in cands] + [native]
+    return jax.lax.switch(idx, branches, (ax, bx, a, b))
+
+
+def _route_complex_2d_auto_traced(a, b, handle: Handle):
+    """Traced AUTO for complex128 (loss over all four re/im planes into
+    one counter, like the reference complex estimator kernel)."""
+    from ..ops.mantissa_loss import mantissa_loss_totals
+    from ..schedule import bits_per_int8
+
+    cands = _traced_candidates()
+    m, k = a.shape
+    n = b.shape[1]
+    bb = bits_per_int8(k)
+    ar = f64_to_f64x_traced(jnp.real(a))
+    ai = f64_to_f64x_traced(jnp.imag(a))
+    br = f64_to_f64x_traced(jnp.real(b))
+    bi = f64_to_f64x_traced(jnp.imag(b))
+    totals = (
+        mantissa_loss_totals(ar, bb, 1)
+        + mantissa_loss_totals(ai, bb, 1)
+        + mantissa_loss_totals(br, bb, 0)
+        + mantissa_loss_totals(bi, bb, 0)
+    )
+    idx = _auto_branch_index(
+        totals, 2.0 * (m * k + k * n), handle.avg_mantissa_loss_threshold, cands
+    )
+
+    def eng(ns):
+        def f(ops):
+            out_re, out_im = _zgemm_core(
+                ops[0], ops[1], ops[2], ops[3], ns, 1.0 + 0j, 0.0 + 0j
+            )
+            return jax.lax.complex(
+                f64x_to_f64_traced(out_re), f64x_to_f64_traced(out_im)
+            )
+
+        return f
+
+    def native(ops):
+        return jax.lax.dot_general(
+            ops[4], ops[5], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.complex128,
+        )
+
+    branches = [eng(ns) for ns in cands] + [native]
+    return jax.lax.switch(idx, branches, (ar, ai, br, bi, a, b))
+
+
+# ---------------------------------------------------------------------------
 # gating and routing
 # ---------------------------------------------------------------------------
 
@@ -129,20 +240,24 @@ def _route_2d(a: jax.Array, b: jax.Array, mode: ComputeMode, handle: Handle) -> 
     tls = _tls()
     tls.in_engine = True
     try:
+        if mode is ComputeMode.FP64_INT8_AUTO:
+            if isinstance(a, jax.core.Tracer):
+                # data-driven selection stays live under jit: device-side
+                # loss totals steer a lax.switch over compiled branches
+                log("AUTO (traced): building loss-driven switch (intercept)")
+                return _route_2d_auto_traced(a, b, handle)
+            from ..ops.mantissa_loss import auto_mode_select
+
+            ax = f64_to_f64x_traced(a)
+            bx = f64_to_f64x_traced(b)
+            mode = auto_mode_select(ax, bx, a.shape[1], handle.avg_mantissa_loss_threshold)
+            log(f"AUTO selected mode = {mode.value} (intercept)")
+            if not mode.is_int8:
+                return None  # fall through to native
+            out = _gemm_core(ax, bx, mode.num_split, 1.0, 0.0)
+            return f64x_to_f64_traced(out)
         ax = f64_to_f64x_traced(a)
         bx = f64_to_f64x_traced(b)
-        if mode is ComputeMode.FP64_INT8_AUTO:
-            # in traced contexts the loss sweep would force host sync;
-            # fall back to a fixed robust default there.
-            if isinstance(a, jax.core.Tracer):
-                mode = ComputeMode.FP64_INT8_9
-            else:
-                from ..ops.mantissa_loss import auto_mode_select
-
-                mode = auto_mode_select(ax, bx, a.shape[1], handle.avg_mantissa_loss_threshold)
-                log(f"AUTO selected mode = {mode.value} (intercept)")
-                if not mode.is_int8:
-                    return None  # fall through to native
         out = _gemm_core(ax, bx, mode.num_split, 1.0, 0.0)
         return f64x_to_f64_traced(out)
     finally:
@@ -154,28 +269,28 @@ def _route_complex_2d(a, b, mode: ComputeMode, handle: Handle):
     tls = _tls()
     tls.in_engine = True
     try:
+        if mode is ComputeMode.FP64_INT8_AUTO and isinstance(a, jax.core.Tracer):
+            log("AUTO (traced): building loss-driven switch (intercept, complex)")
+            return _route_complex_2d_auto_traced(a, b, handle)
         ar = f64_to_f64x_traced(jnp.real(a))
         ai = f64_to_f64x_traced(jnp.imag(a))
         br = f64_to_f64x_traced(jnp.real(b))
         bi = f64_to_f64x_traced(jnp.imag(b))
         if mode is ComputeMode.FP64_INT8_AUTO:
-            if isinstance(a, jax.core.Tracer):
-                mode = ComputeMode.FP64_INT8_9
-            else:
-                from ..ops.mantissa_loss import auto_mode_select
+            from ..ops.mantissa_loss import auto_mode_select
 
-                k = a.shape[1]
-                th = handle.avg_mantissa_loss_threshold
-                picks = [
-                    auto_mode_select(ar, br, k, th),
-                    auto_mode_select(ai, bi, k, th),
-                ]
-                if any(not p.is_int8 for p in picks):
-                    return None  # fall through to native
-                mode = ComputeMode.from_num_split(
-                    max(p.num_split for p in picks)
-                )
-                log(f"AUTO selected mode = {mode.value} (intercept, complex)")
+            k = a.shape[1]
+            th = handle.avg_mantissa_loss_threshold
+            picks = [
+                auto_mode_select(ar, br, k, th),
+                auto_mode_select(ai, bi, k, th),
+            ]
+            if any(not p.is_int8 for p in picks):
+                return None  # fall through to native
+            mode = ComputeMode.from_num_split(
+                max(p.num_split for p in picks)
+            )
+            log(f"AUTO selected mode = {mode.value} (intercept, complex)")
         out_re, out_im = _zgemm_core(
             ar, ai, br, bi, mode.num_split, 1.0 + 0j, 0.0 + 0j
         )
@@ -193,15 +308,100 @@ def _route_batched(a, b, mode: ComputeMode, handle: Handle):
     tls = _tls()
     tls.in_engine = True
     try:
-        if mode is ComputeMode.FP64_INT8_AUTO:
-            mode = ComputeMode.FP64_INT8_9  # one robust mode per batch
         ax = f64_to_f64x_traced(a)  # conversion is elementwise: 3D is fine
         bx = f64_to_f64x_traced(b)
+        if mode is ComputeMode.FP64_INT8_AUTO:
+            # one mode for the whole batch, selected from loss totals over
+            # the flattened batch: rows of [B*m, k] and columns of
+            # [k, B*n] are exactly the per-matrix scale groups
+            from ..ops.mantissa_loss import mantissa_loss_totals
+            from ..schedule import bits_per_int8
+
+            bsz, m, k = a.shape
+            n = b.shape[2]
+            bb = bits_per_int8(k)
+            cands = _traced_candidates()
+            a2 = F64X(ax.hi.reshape(bsz * m, k), ax.lo.reshape(bsz * m, k))
+            b2 = F64X(
+                jnp.swapaxes(bx.hi, 0, 1).reshape(k, bsz * n),
+                jnp.swapaxes(bx.lo, 0, 1).reshape(k, bsz * n),
+            )
+            totals = mantissa_loss_totals(a2, bb, 1) + mantissa_loss_totals(b2, bb, 0)
+            idx = _auto_branch_index(
+                totals,
+                float(bsz * (m * k + k * n)),
+                handle.avg_mantissa_loss_threshold,
+                cands,
+            )
+
+            def eng(ns):
+                return lambda ops: f64x_to_f64_traced(
+                    jax.vmap(lambda x, y: _gemm_core(x, y, ns, 1.0, 0.0))(
+                        ops[0], ops[1]
+                    )
+                )
+
+            def native(ops):
+                return jax.lax.dot_general(
+                    ops[2], ops[3], (((2,), (1,)), ((0,), (0,))),
+                    preferred_element_type=jnp.float64,
+                )
+
+            branches = [eng(ns) for ns in cands] + [native]
+            return jax.lax.switch(idx, branches, (ax, bx, a, b))
         ns = mode.num_split
         out = jax.vmap(lambda x, y: _gemm_core(x, y, ns, 1.0, 0.0))(ax, bx)
         return f64x_to_f64_traced(out)
     finally:
         tls.in_engine = False
+
+
+def _route_batched_complex(a, b, mode: ComputeMode, handle: Handle):
+    """Batched ZGEMM interception ([B, m, k] @ [B, k, n] complex128;
+    reference cublasZgemmStridedBatched shim, cublas.cu:473-513)."""
+    tls = _tls()
+    tls.in_engine = True
+    try:
+        if mode is ComputeMode.FP64_INT8_AUTO:
+            mode = ComputeMode.FP64_INT8_9
+        ar = f64_to_f64x_traced(jnp.real(a))
+        ai = f64_to_f64x_traced(jnp.imag(a))
+        br = f64_to_f64x_traced(jnp.real(b))
+        bi = f64_to_f64x_traced(jnp.imag(b))
+        ns = mode.num_split
+        out_re, out_im = jax.vmap(
+            lambda w, x, y, z: _zgemm_core(w, x, y, z, ns, 1.0 + 0j, 0.0 + 0j)
+        )(ar, ai, br, bi)
+        return jax.lax.complex(
+            f64x_to_f64_traced(out_re), f64x_to_f64_traced(out_im)
+        )
+    finally:
+        tls.in_engine = False
+
+
+def _normalize_batched(lhs, rhs, lc, rc, lb, rb):
+    """Normalize a batched contraction (>=1 batch dims, 1 contracting dim
+    each) to ([B, M, K], [B, K, N], out_shape).
+
+    dot_general's output layout is (batch dims in lhs order, lhs free dims,
+    rhs free dims) — exactly what transposing batch dims to the front and
+    the contraction to the edge produces, so a reshape of the routed
+    [B, M, N] result restores the native output.
+    """
+    l_free = [d for d in range(lhs.ndim) if d not in lb and d != lc]
+    r_free = [d for d in range(rhs.ndim) if d not in rb and d != rc]
+    bshape = tuple(lhs.shape[d] for d in lb)
+    if bshape != tuple(rhs.shape[d] for d in rb):
+        return None
+    mshape = tuple(lhs.shape[d] for d in l_free)
+    nshape = tuple(rhs.shape[d] for d in r_free)
+    bsz = int(np.prod(bshape, dtype=np.int64))
+    m = int(np.prod(mshape, dtype=np.int64))
+    n = int(np.prod(nshape, dtype=np.int64))
+    k = lhs.shape[lc]
+    a3 = jnp.transpose(lhs, (*lb, *l_free, lc)).reshape(bsz, m, k)
+    b3 = jnp.transpose(rhs, (*rb, rc, *r_free)).reshape(bsz, k, n)
+    return a3, b3, bshape + mshape + nshape
 
 
 # ---------------------------------------------------------------------------
@@ -224,6 +424,14 @@ def _patched_dot_general(lhs, rhs, dimension_numbers, *args, **kwargs):
         mode = _current_mode(handle)
         ldt = getattr(lhs, "dtype", None)
         rdt = getattr(rhs, "dtype", None)
+        # A caller requesting a different output dtype (preferred_element_type
+        # positionally after `precision`, or by keyword) must get the native
+        # semantics — rerouting would change the traced program's dtype.
+        pet = kwargs.get("preferred_element_type", None)
+        if pet is None and len(args) >= 2:
+            pet = args[1]
+        if pet is not None and ldt is not None and jnp.dtype(pet) != jnp.dtype(ldt):
+            return orig(lhs, rhs, dimension_numbers, *args, **kwargs)
         if (
             ldt == rdt
             and ldt in (jnp.float64, jnp.complex128)
@@ -246,25 +454,31 @@ def _patched_dot_general(lhs, rhs, dimension_numbers, *args, **kwargs):
                     return r
         elif (
             ldt == rdt
-            and ldt == jnp.float64
-            and lhs.ndim == 3
-            and rhs.ndim == 3
-            and lb == (0,)
-            and rb == (0,)
-            and lc == (2,)
-            and rc == (1,)
+            and ldt in (jnp.float64, jnp.complex128)
+            and len(lc) == 1
+            and len(rc) == 1
+            and len(lb) >= 1
+            and len(lb) == len(rb)
+            and lhs.ndim >= 3
+            and rhs.ndim >= 3
         ):
-            bsz, m, k = lhs.shape
-            n = rhs.shape[2]
-            if _qualifies(m, n, k, ldt, mode, handle):
-                with culip_timer(
-                    f"intercept_dot_general_batched-b{bsz}-m{m}-n{n}-k{k}"
-                ):
-                    r = _route_batched(
-                        jnp.asarray(lhs), jnp.asarray(rhs), mode, handle
+            norm = _normalize_batched(lhs, rhs, lc[0], rc[0], lb, rb)
+            if norm is not None:
+                a3, b3, out_shape = norm
+                bsz, m, k = a3.shape
+                n = b3.shape[2]
+                if _qualifies(m, n, k, ldt, mode, handle):
+                    route = (
+                        _route_batched_complex
+                        if ldt == jnp.complex128
+                        else _route_batched
                     )
-                if r is not None:
-                    return r
+                    with culip_timer(
+                        f"intercept_dot_general_batched-b{bsz}-m{m}-n{n}-k{k}"
+                    ):
+                        r = route(a3, b3, mode, handle)
+                    if r is not None:
+                        return r.reshape(out_shape)
     except Exception as e:  # fall back to native on any issue — but LOUDLY
         # (a silent fallback once masked three rerouting bugs; the error
         # channel is on by default, reference utils.hpp:133-137 logs its
@@ -274,7 +488,64 @@ def _patched_dot_general(lhs, rhs, dimension_numbers, *args, **kwargs):
     return orig(lhs, rhs, dimension_numbers, *args, **kwargs)
 
 
-def enable(mode=None, handle: Optional[Handle] = None) -> None:
+class PatchPointError(RuntimeError):
+    """The JAX internals this interceptor patches moved or vanished.
+
+    Raised LOUDLY instead of silently serving native matmuls — the
+    interception contract is "qualifying f64 contractions go through the
+    engine", and a quietly missing patch point would break that without
+    any signal (the failure mode the reference's LD_PRELOAD design cannot
+    have: a missing symbol fails at link time)."""
+
+
+def _discover_patch_points():
+    """Locate the internal patch points, failing loudly with version info.
+
+    Returns ``(lax_internal_module, einsum_module_or_None)``.  A missing
+    einsum kwdefault is survivable (einsum falls back to native; dot,
+    matmul and ``@`` still reroute) and is reported on the error channel;
+    a missing ``dot_general`` defining site is fatal.
+    """
+    try:
+        import jax._src.lax.lax as _lax_internal
+    except ImportError as e:
+        raise PatchPointError(
+            f"ozimmu interception does not support jax {jax.__version__}: "
+            f"internal module jax._src.lax.lax is gone ({e}); the "
+            "interceptor needs porting to this JAX release"
+        ) from e
+    if not callable(getattr(_lax_internal, "dot_general", None)):
+        raise PatchPointError(
+            f"ozimmu interception does not support jax {jax.__version__}: "
+            "jax._src.lax.lax.dot_general is not a callable; the "
+            "interceptor needs porting to this JAX release"
+        )
+    try:
+        import jax._src.numpy.einsum as _einsum_mod
+    except ImportError:
+        _einsum_mod = None
+        error(
+            "interception: jax._src.numpy.einsum not found on jax "
+            f"{jax.__version__}; jnp.einsum will NOT be rerouted "
+            "(dot/matmul/@ still are)"
+        )
+    return _lax_internal, _einsum_mod
+
+
+def _warmup_default(handle: Handle) -> None:
+    """Pre-compile the default interception shape (reference
+    cublasCreate_v2 pre-allocates a 1024^3 int8_9 arena, cublas.cu:12-16)
+    so the first intercepted call doesn't pay full compile latency."""
+    m = max(1024, handle.intercept_threshold_m)
+    n = max(1024, handle.intercept_threshold_n)
+    k = max(1024, handle.intercept_threshold_k)
+    a = jnp.zeros((m, k), dtype=jnp.float64)
+    b = jnp.zeros((k, n), dtype=jnp.float64)
+    jax.block_until_ready(jnp.dot(a, b))
+    log(f"interception warmed up for {m}x{n}x{k}")
+
+
+def enable(mode=None, handle: Optional[Handle] = None, warmup: Optional[bool] = None) -> None:
     """Globally patch jnp/lax matmul entry points.
 
     Three patch points are required (verified by bitwise-vs-engine tests):
@@ -287,19 +558,36 @@ def enable(mode=None, handle: Optional[Handle] = None) -> None:
     * ``jnp.einsum`` captured the original function as an import-time
       keyword DEFAULT (``_dot_general=lax.dot_general``), so its
       ``__kwdefaults__`` entry is swapped to the patched function.
+
+    All are internals; :func:`_discover_patch_points` guards them against
+    JAX upgrades with a loud :class:`PatchPointError` instead of silent
+    native fallthrough.
+
+    ``warmup=True`` (or env ``OZIMMU_WARMUP_ON_ENABLE=1``) pre-compiles
+    the default 1024^3 shape like the reference's ``cublasCreate_v2``
+    arena pre-allocation (cublas.cu:12-16,104-115).
     """
     tls = _tls()
     if not _orig:
-        import jax._src.lax.lax as _lax_internal
-        import jax._src.numpy.einsum as _einsum_mod
+        _lax_internal, _einsum_mod = _discover_patch_points()
 
         _orig["dot_general"] = _lax_internal.dot_general
         _lax_internal.dot_general = _patched_dot_general
         jax.lax.dot_general = _patched_dot_general
-        for fn in (_einsum_mod.einsum, getattr(jnp, "einsum", None)):
+        patched_einsum = False
+        for fn in (
+            (_einsum_mod.einsum if _einsum_mod is not None else None),
+            getattr(jnp, "einsum", None),
+        ):
             kwd = getattr(fn, "__kwdefaults__", None) or {}
             if kwd.get("_dot_general") is _orig["dot_general"]:
                 kwd["_dot_general"] = _patched_dot_general
+                patched_einsum = True
+        if _einsum_mod is not None and not patched_einsum:
+            error(
+                "interception: einsum's _dot_general kwdefault not found "
+                f"on jax {jax.__version__}; jnp.einsum will NOT be rerouted"
+            )
     tls.active = True
     tls.mode = ComputeMode.parse(mode) if mode is not None else None
     tls.handle = handle
@@ -310,6 +598,10 @@ def enable(mode=None, handle: Optional[Handle] = None) -> None:
     # reference shim has by construction.
     jax.clear_caches()
     log("interception enabled")
+    if warmup is None:
+        warmup = env_flag("OZIMMU_WARMUP_ON_ENABLE", False)
+    if warmup:
+        _warmup_default(handle or default_handle())
 
 
 def disable() -> None:
