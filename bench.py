@@ -84,18 +84,36 @@ def timed(fn, *args):
 def main():
     dev = jax.devices()[0]
     log(f"device: {dev} platform: {dev.platform}")
+    device_gen = M > 8192 or os.environ.get("OZ_BENCH_DEVICE_GEN") == "1"
     rng = np.random.default_rng(0)
-    a = rng.uniform(size=(M, M))
-    b = rng.uniform(size=(M, M))
-    ax = F64X.from_numpy(a)
-    bx = F64X.from_numpy(b)
 
-    # --- accuracy check (small, once) -----------------------------------
-    am, bm = a[:1024, :1024], b[:1024, :1024]
+    # --- accuracy check (small, once, host-verifiable) -------------------
+    am = rng.uniform(size=(1024, 1024))
+    bm = rng.uniform(size=(1024, 1024))
     c = _gemm_core(F64X.from_numpy(am), F64X.from_numpy(bm), NS, 1.0, 0.0)
     err = error_metrics(c.to_numpy().reshape(1024, 1024), am, bm)
     log(f"accuracy @1024^3 ns={NS}: residual={err['relative_residual']:.3e} "
         f"max_rel={err['max_relative_error']:.3e}")
+
+    if device_gen:
+        # operands generated ON DEVICE (uniform f32 widened to exact f64
+        # bits): at 16384^2 the host->device transfer of 8 GiB of bit
+        # planes over a remote tunnel would dominate the whole benchmark
+        from ozimmu_tpu.core.f64x import from_f32
+
+        log(f"generating {M}x{M} operands on device")
+        genx = jax.jit(
+            lambda k: from_f32(jax.random.uniform(k, (M, M), dtype=jnp.float32))
+        )
+        k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+        ax = genx(k1)
+        bx = genx(k2)
+        jax.block_until_ready(bx.hi)
+    else:
+        a = rng.uniform(size=(M, M))
+        b = rng.uniform(size=(M, M))
+        ax = F64X.from_numpy(a)
+        bx = F64X.from_numpy(b)
 
     # --- engine timing ----------------------------------------------------
     t1 = timed(chain_engine, ax.hi, ax.lo, bx.hi, bx.lo, NS, ITERS)
@@ -105,8 +123,17 @@ def main():
     log(f"engine: {per_iter*1e3:.3f} ms/GEMM -> {tflops:.2f} effective FP64 TFLOPS @ {M}^3 ns={NS}")
 
     # --- native f64 baseline ---------------------------------------------
-    aj = jnp.asarray(a, dtype=jnp.float64)
-    bj = jnp.asarray(b, dtype=jnp.float64)
+    if device_gen:
+        genf = jax.jit(
+            lambda k: jax.random.uniform(k, (M, M), dtype=jnp.float64)
+        )
+        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+        aj = genf(k1)
+        bj = genf(k2)
+        jax.block_until_ready(bj)
+    else:
+        aj = jnp.asarray(a, dtype=jnp.float64)
+        bj = jnp.asarray(b, dtype=jnp.float64)
     n1 = timed(chain_native, aj, bj, ITERS)
     n2 = timed(chain_native, aj, bj, 2 * ITERS)
     native_per_iter = max((n2 - n1) / ITERS, 1e-9)
