@@ -68,6 +68,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.oz_error_metrics_z.argtypes = [i64, i64, i64, f64p, f64p, f64p, f64p]
         lib.oz_ref_gemm_d.argtypes = [i64, i64, i64, f64p, f64p, f64p]
         lib.oz_split_fp64.argtypes = [i64, i64, f64p, i32, i32, i8p, i32p]
+        pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_double))
+        lib.oz_error_metrics_d_multi.argtypes = [i64, i64, i64, f64p, f64p, pp, i64, f64p]
+        lib.oz_error_metrics_z_multi.argtypes = [i64, i64, i64, f64p, f64p, pp, i64, f64p]
         _lib = lib
         return _lib
 
@@ -97,6 +100,35 @@ def error_metrics_native(
         cc = np.ascontiguousarray(c, dtype=np.float64)
         lib.oz_error_metrics_d(m, n, k, _f64p(ac), _f64p(bc), _f64p(cc), _f64p(out))
     return {"relative_residual": float(out[0]), "max_relative_error": float(out[1])}
+
+
+def error_metrics_multi_native(cs, a: np.ndarray, b: np.ndarray):
+    """Metrics for MANY candidate C matrices against one long-double
+    reference accumulation (9x less oracle work when sweeping modes over
+    the same operands).  Returns a list of metric dicts, or None."""
+    lib = get_lib()
+    if lib is None or len(cs) > 32:
+        return None
+    m, k = a.shape
+    n = b.shape[1]
+    nc = len(cs)
+    out = np.zeros(2 * nc, dtype=np.float64)
+    if np.iscomplexobj(a):
+        ac = np.ascontiguousarray(a, dtype=np.complex128).view(np.float64)
+        bc = np.ascontiguousarray(b, dtype=np.complex128).view(np.float64)
+        ccs = [np.ascontiguousarray(c, dtype=np.complex128).view(np.float64) for c in cs]
+        fn = lib.oz_error_metrics_z_multi
+    else:
+        ac = np.ascontiguousarray(a, dtype=np.float64)
+        bc = np.ascontiguousarray(b, dtype=np.float64)
+        ccs = [np.ascontiguousarray(c, dtype=np.float64) for c in cs]
+        fn = lib.oz_error_metrics_d_multi
+    ptrs = (ctypes.POINTER(ctypes.c_double) * nc)(*[_f64p(c) for c in ccs])
+    fn(m, n, k, _f64p(ac), _f64p(bc), ptrs, nc, _f64p(out))
+    return [
+        {"relative_residual": float(out[2 * i]), "max_relative_error": float(out[2 * i + 1])}
+        for i in range(nc)
+    ]
 
 
 def ref_gemm_native(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
