@@ -40,6 +40,9 @@ from ozimmu_tpu.testing import error_metrics
 M = int(os.environ.get("OZ_BENCH_M", 8192))
 NS = int(os.environ.get("OZ_BENCH_NS", 9))
 ITERS = int(os.environ.get("OZ_BENCH_ITERS", 6))
+# column-panel chunking (bitwise-identical; cuts peak HBM ~NCHUNKS-fold
+# for the B planes / accumulator — required to fit 16384^3 in 16 GB)
+NCHUNKS = int(os.environ.get("OZ_BENCH_NCHUNKS", 4 if M > 8192 else 1))
 
 
 def log(msg):
@@ -48,9 +51,14 @@ def log(msg):
 
 @partial(jax.jit, static_argnums=(4, 5))
 def chain_engine(a_hi, a_lo, b_hi, b_lo, ns, iters):
+    from ozimmu_tpu.core.gemm import _gemm_core_nchunked
+
     def body(i, carry):
         a_lo, b_lo = carry
-        out = _gemm_core(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, 1.0, 0.0)
+        if NCHUNKS > 1:
+            out = _gemm_core_nchunked(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, NCHUNKS)
+        else:
+            out = _gemm_core(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, 1.0, 0.0)
         # dependency: flip one low mantissa bit of BOTH operands per
         # element so neither operand's split can be hoisted out of the
         # loop — each iteration pays the full gemm cost
@@ -64,6 +72,17 @@ def chain_engine(a_hi, a_lo, b_hi, b_lo, ns, iters):
 @partial(jax.jit, static_argnums=(2,))
 def chain_native(a, b, iters):
     def body(i, b):
+        if NCHUNKS > 1:
+            # row-chunked: XLA's emulated-f64 dot materializes the whole
+            # lhs as bf16[4, m, k] (8 GB at 16384^2) — slicing A keeps
+            # that expansion panel-sized.  Each panel's first output row
+            # perturbs b, chaining panels AND iterations causally.
+            w = a.shape[0] // NCHUNKS
+            for j in range(NCHUNKS):
+                aj = jax.lax.slice_in_dim(a, j * w, (j + 1) * w, axis=0)
+                cj = jnp.dot(aj, b, preferred_element_type=jnp.float64)
+                b = b + cj[:1, :] * 1e-30
+            return b
         c = jnp.dot(a, b, preferred_element_type=jnp.float64)
         # true data dependency (not DCE-able), negligible value drift
         return b + c * 1e-30

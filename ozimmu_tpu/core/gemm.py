@@ -71,6 +71,39 @@ def _gemm_core(
     return pack_f64x(S, E)
 
 
+@partial(jax.jit, static_argnums=(2, 3), inline=True)
+def _gemm_core_nchunked(a: F64X, b: F64X, num_split: int, n_chunks: int):
+    """Column-panel-chunked engine: split A once, stream B in n panels.
+
+    Bitwise-identical to :func:`_gemm_core` (B's split is per-column
+    independent and the recombination sees the full k), but peak HBM for
+    the B planes / int32 output / triple-f32 accumulator drops by
+    ~n_chunks — what makes 16384^3 fit in a v5e's 16 GB.  No epilogue
+    (headline-bench path); ``n % n_chunks == 0`` required.
+    """
+    m, k = a.shape
+    n = b.shape[1]
+    assert n % n_chunks == 0, (n, n_chunks)
+    w = n // n_chunks
+    bb = bits_per_int8(k)
+    shift = np.int32(acc_shift(num_split, bb))
+    da, pa = split_f64x(a, num_split, bb)
+    outs = []
+    for j in range(n_chunks):
+        bj = F64X(
+            jax.lax.slice_in_dim(b.hi, j * w, (j + 1) * w, axis=1),
+            jax.lax.slice_in_dim(b.lo, j * w, (j + 1) * w, axis=1),
+        )
+        db, pb = split_f64x_cols(bj, num_split, bb)
+        S = recombine_auto(da, db, num_split, bb, k)
+        E = (pa[:, None] + pb[None, :] - shift).astype(jnp.int32)
+        outs.append(pack_f64x(S, E))
+    return F64X(
+        jnp.concatenate([o.hi for o in outs], axis=1),
+        jnp.concatenate([o.lo for o in outs], axis=1),
+    )
+
+
 def gemm_f64x(
     a: F64X,
     b: F64X,

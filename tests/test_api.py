@@ -140,6 +140,22 @@ class TestGemmAPI:
             oz.gemm(np.zeros((4, 5)), np.zeros((6, 4)), mode="fp64_int8_9")
 
 
+class TestChunkedCore:
+    def test_nchunked_bitwise_same(self):
+        # the 16384^3-fits-in-HBM path: column-panel streaming must be
+        # bitwise-identical to the fused engine
+        from ozimmu_tpu.core.f64x import F64X
+        from ozimmu_tpu.core.gemm import _gemm_core, _gemm_core_nchunked
+
+        rng = np.random.default_rng(30)
+        a = F64X.from_numpy(rng.normal(size=(48, 96)))
+        b = F64X.from_numpy(rng.normal(size=(96, 64)))
+        o1 = _gemm_core(a, b, 9, 1.0, 0.0)
+        for nc in (2, 4):
+            o2 = _gemm_core_nchunked(a, b, 9, nc)
+            np.testing.assert_array_equal(o1.to_numpy(), o2.to_numpy())
+
+
 class TestAutoMode:
     def test_uniform_picks_small_ns(self):
         a = generate_input("urand01", (64, 64), seed=11)
