@@ -38,6 +38,21 @@ print("mesh:", mesh.devices.shape,
 c_local = oz.gemm(a, b, mode="fp64_int8_9")
 print("bitwise == local:", np.array_equal(c.view(np.uint64), c_local.view(np.uint64)))
 
+# full gemm contract on the mesh: alpha*(a@b) + beta*c, same exact
+# epilogue as the single-chip engine (bitwise-identical)
+c0 = rng.uniform(size=(256, 128))
+c_ep = sharded_gemm(a, b, 9, mesh, alpha=2.0, beta=1.0, c=c0)
+c_ep_local = oz.gemm(a, b, mode="fp64_int8_9", alpha=2.0, beta=1.0, c=c0)
+print("epilogue bitwise == local:",
+      np.array_equal(c_ep.view(np.uint64), c_ep_local.view(np.uint64)))
+
+# distributed ZGEMM: 4-pass complex engine, int8-only traffic
+za = rng.normal(size=(256, 512)) + 1j * rng.normal(size=(256, 512))
+zb = rng.normal(size=(512, 128)) + 1j * rng.normal(size=(512, 128))
+z = sharded_gemm(za, zb, 9, mesh)
+z_local = oz.gemm(za, zb, mode="fp64_int8_9")
+print("zgemm bitwise == local:", np.array_equal(z, z_local))
+
 # Cannon-streamed variant for square meshes: q-fold lower peak memory,
 # for problems whose gathered slabs would not fit in HBM
 if len(jax.devices()) >= 4:
