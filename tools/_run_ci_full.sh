@@ -1,13 +1,6 @@
 #!/bin/bash
-# chunked full CI matrix: one process per (kind, mode) to bound memory
-LOG=/tmp/ci_full_results.log
-: > $LOG
-for kind in False True; do
-  for ns in 8 9 10 11 12 13 14 15 16; do
-    OZ_CI_FULL=1 nice -n 10 python -m pytest \
-      "tests/test_ci_matrix.py::test_ci_full_matrix" \
-      -k "${kind}- and fp64_int8_${ns}]" -q --no-header -p no:cacheprovider 2>&1 \
-      | tail -1 | sed "s/^/kind=${kind} ns=${ns}: /" >> $LOG
-  done
-done
-echo DONE >> $LOG
+# Full 1944-case CI matrix via the oracle-sharing resumable runner
+# (tools/ci_full_runner.py): one long-double oracle pass scores all nine
+# modes per operand set.  Logs: /tmp/ci_full_{real,complex}_runner.log
+nice -n 10 python tools/ci_full_runner.py real /tmp/ci_full_real_runner.log
+nice -n 10 python tools/ci_full_runner.py complex /tmp/ci_full_complex_runner.log
