@@ -73,16 +73,28 @@ def chain_engine(a_hi, a_lo, b_hi, b_lo, ns, iters):
 def chain_native(a, b, iters):
     def body(i, b):
         if NCHUNKS > 1:
-            # row-chunked: XLA's emulated-f64 dot materializes the whole
-            # lhs as bf16[4, m, k] (8 GB at 16384^2) — slicing A keeps
-            # that expansion panel-sized.  Each panel's first output row
-            # perturbs b, chaining panels AND iterations causally.
-            w = a.shape[0] // NCHUNKS
-            for j in range(NCHUNKS):
-                aj = jax.lax.slice_in_dim(a, j * w, (j + 1) * w, axis=0)
-                cj = jnp.dot(aj, b, preferred_element_type=jnp.float64)
-                b = b + cj[:1, :] * 1e-30
-            return b
+            # block-chunked: XLA's emulated-f64 dot materializes EACH
+            # operand as a bf16[4, ., .] expansion (8 GB per full
+            # 16384^2 operand), so both sides are sliced — and the block
+            # sweep is a ROLLED fori_loop so only one block's temps are
+            # ever live.  Every block's [0,0] element feeds the
+            # perturbation, chaining all blocks and iterations causally;
+            # full 2mnk FLOPs retained.
+            wm = a.shape[0] // NCHUNKS
+            wn = b.shape[1] // NCHUNKS
+
+            def blk(t, s):
+                bi = t // NCHUNKS
+                bj = t % NCHUNKS
+                ai = jax.lax.dynamic_slice_in_dim(a, bi * wm, wm, axis=0)
+                bjp = jax.lax.dynamic_slice_in_dim(b, bj * wn, wn, axis=1)
+                cij = jnp.dot(ai, bjp, preferred_element_type=jnp.float64)
+                return s + cij[0, 0]
+
+            s = jax.lax.fori_loop(
+                0, NCHUNKS * NCHUNKS, blk, jnp.zeros((), dtype=jnp.float64)
+            )
+            return b + s * 1e-30
         c = jnp.dot(a, b, preferred_element_type=jnp.float64)
         # true data dependency (not DCE-able), negligible value drift
         return b + c * 1e-30
