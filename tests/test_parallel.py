@@ -198,6 +198,13 @@ class TestShardedZgemm:
         c = sharded_gemm(a, b, 12, mesh)
         assert error_metrics(c, a, b)["relative_residual"] < 1e-15
 
+    def test_complex_uneven_dims_padded(self, mesh):
+        a = generate_input("urand01", (34, 52), seed=57, complex_=True)
+        b = generate_input("urand01", (52, 26), seed=58, complex_=True)
+        c = sharded_gemm(a, b, 9, mesh)
+        assert c.shape == (34, 26)
+        assert error_metrics(c, a, b)["relative_residual"] < 1e-15
+
 
 @pytest.fixture(scope="module")
 def square_mesh():
