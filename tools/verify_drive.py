@@ -60,4 +60,42 @@ cz = oz.gemm(az, bz, mode="fp64_int8_12")
 refz = az @ bz
 rz = np.linalg.norm(np.asarray(cz) - refz) / np.linalg.norm(refz)
 print(f"7. zgemm 256^3 int8_12 exp-spread residual: {rz:.3e}", flush=True)
+
+# --- round-2 surface --------------------------------------------------------
+
+# 8. complex zgemm with complex alpha/beta (shared fold refactor)
+zc = rng.normal(size=(256, 256)) + 1j * rng.normal(size=(256, 256))
+al, be = 1.5 - 0.5j, 0.25 + 2.0j
+z8 = oz.gemm(az, bz, mode="fp64_int8_10", alpha=al, beta=be, c=zc)
+ref8 = al * (az @ bz) + be * zc
+r8 = np.linalg.norm(np.asarray(z8) - ref8) / np.linalg.norm(ref8)
+print(f"8. zgemm complex alpha/beta residual: {r8:.3e}", flush=True)
+
+# 9. complex sgemm demotion on device (2D + batched): must be f32-grade
+s9 = oz.gemm(az, bz, mode="sgemm", alpha=al, beta=be, c=zc)
+r9 = np.linalg.norm(np.asarray(s9) - ref8) / np.linalg.norm(ref8)
+b9 = oz.gemm_batched(np.stack([az, 2 * az]), np.stack([bz, bz]), mode="sgemm")
+r9b = np.linalg.norm(b9[1] - 2 * (az @ bz)) / np.linalg.norm(2 * az @ bz)
+ok9 = 1e-10 < r9 < 1e-4 and 1e-10 < r9b < 1e-4
+print(f"9. complex sgemm demotion 2D r={r9:.3e} batched r={r9b:.3e} "
+      f"({'OK' if ok9 else 'BAD'})", flush=True)
+
+# 10. staged complex profiler bit-matches fused
+h = oz.create()
+oz.enable_profiling(h)
+z10 = oz.gemm(az, bz, mode="fp64_int8_10", alpha=al, beta=be, c=zc, handle=h)
+oz.disable_profiling(h)
+print(f"10. staged complex == fused: {np.array_equal(z10, z8)}", flush=True)
+
+# 11. chunked engine core bit-matches fused (the 16384^3-enabling path)
+from ozimmu_tpu.core.f64x import F64X
+from ozimmu_tpu.core.gemm import _gemm_core, _gemm_core_nchunked
+
+ax1 = F64X.from_numpy(a2[:256, :256])
+bx1 = F64X.from_numpy(b2[:256, :256])
+o1 = _gemm_core(ax1, bx1, 9, 1.0, 0.0)
+o2 = _gemm_core_nchunked(ax1, bx1, 9, 4)
+print(f"11. chunked core bit-identical: "
+      f"{np.array_equal(o1.to_numpy(), o2.to_numpy())}", flush=True)
+
 print("done", flush=True)
