@@ -137,13 +137,17 @@ def _make_runner(a: np.ndarray, b: np.ndarray, mode):
         br = F64X.from_numpy(np.ascontiguousarray(b.real))
         bi = F64X.from_numpy(np.ascontiguousarray(b.imag))
 
-        @partial(jax.jit, static_argnums=(4,))
-        def run(ar_lo, ai_lo, br_lo, bi_lo, iters):
+        @partial(jax.jit, static_argnums=(8,))
+        def run(ar_hi, ai_hi, br_hi, bi_hi, ar_lo, ai_lo, br_lo, bi_lo, iters):
+            # hi planes are ARGUMENTS, not closure constants: closed-over
+            # device arrays are baked into the serialized HLO as literals,
+            # which blows past the remote-compile tunnel's request-size
+            # limit at >=4096^2 (HTTP 413)
             def body(i, carry):
                 ar_lo, ai_lo, br_lo, bi_lo = carry
                 out_re, out_im = _zgemm_core(
-                    F64X(ar.hi, ar_lo), F64X(ai.hi, ai_lo),
-                    F64X(br.hi, br_lo), F64X(bi.hi, bi_lo),
+                    F64X(ar_hi, ar_lo), F64X(ai_hi, ai_lo),
+                    F64X(br_hi, br_lo), F64X(bi_hi, bi_lo),
                     ns, 1.0 + 0j, 0.0 + 0j,
                 )
                 dep_a = out_re.lo[:, :1] & np.uint32(1)
@@ -152,7 +156,7 @@ def _make_runner(a: np.ndarray, b: np.ndarray, mode):
 
             return jax.lax.fori_loop(0, iters, body, (ar_lo, ai_lo, br_lo, bi_lo))
 
-        args = (ar.lo, ai.lo, br.lo, bi.lo)
+        args = (ar.hi, ai.hi, br.hi, bi.hi, ar.lo, ai.lo, br.lo, bi.lo)
     else:
         # native paths: dgemm (platform f64) / sgemm (f32 demotion)
         dt = jnp.float32 if mode is ComputeMode.SGEMM else jnp.float64
