@@ -48,6 +48,7 @@ def main(kind: str, logfile: str) -> int:
                     done.add(line.split()[1])
     failures = 0
     cases = 0
+    ran_sets = 0
     with open(logfile, "a", buffering=1) as log:
         for (m, n, k), (op_a, op_b) in itertools.product(
             itertools.product(SIZES, repeat=3), itertools.product("NT", "NT")
@@ -56,6 +57,13 @@ def main(kind: str, logfile: str) -> int:
             if key in done:
                 cases += len(MODES)
                 continue
+            # the in-memory executable cache grows by 9 large unrolled
+            # engine programs per operand set; unbounded it exhausts host
+            # RAM after ~100 sets (LLVM "Cannot allocate memory").  The
+            # persistent disk cache makes re-tracing cheap.
+            ran_sets += 1
+            if ran_sets % 20 == 0:
+                jax.clear_caches()
             a = generate_input(
                 "urand01",
                 (m, k) if op_a == "N" else (k, m),
