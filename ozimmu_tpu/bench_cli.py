@@ -84,22 +84,55 @@ def _size_list(kind: str, start: int, end: int, interval: int):
 
 
 def run_ci_test(sizes=(1023, 1024, 1025)) -> int:
-    """The reference 1944-case gate (main_test.cu:702-746)."""
+    """The reference 1944-case gate (main_test.cu:702-746).
+
+    One long-double oracle accumulation scores all nine modes per operand
+    set (native.error_metrics_multi_native) — 9x less oracle work than
+    the naive per-case loop, same per-case CSV rows and gate.
+    """
+    import ozimmu_tpu as oz
+    from ozimmu_tpu import native
+    from ozimmu_tpu.testing import error_metrics, generate_input
+
     modes = [f"fp64_int8_{ns}" for ns in range(8, 17)]
     num_errors = 0
     total = 0
+    dev = _device_name()
     for kind in ("dgemm", "zgemm"):
+        complex_ = kind == "zgemm"
         for op_a, op_b in itertools.product("NT", "NT"):
             for m in sizes:
                 for n in sizes:
                     for k in sizes:
-                        for mode in modes:
+                        a = generate_input(
+                            "urand01", (m, k) if op_a == "N" else (k, m),
+                            seed=0, complex_=complex_,
+                        )
+                        b = generate_input(
+                            "urand01", (k, n) if op_b == "N" else (n, k),
+                            seed=1, complex_=complex_,
+                        )
+                        cs = [
+                            oz.gemm(a, b, mode=mode, op_a=op_a, op_b=op_b)
+                            for mode in modes
+                        ]
+                        ae = np.ascontiguousarray(a if op_a == "N" else a.T)
+                        be = np.ascontiguousarray(b if op_b == "N" else b.T)
+                        errs = native.error_metrics_multi_native(cs, ae, be)
+                        if errs is None:  # no native oracle: numpy fallback
+                            errs = [error_metrics(c, ae, be) for c in cs]
+                        for mode, err in zip(modes, errs):
                             total += 1
-                            num_errors += _run_case(
-                                kind, "urand01", mode, op_a, op_b, m, n, k,
-                                test_count=0,  # accuracy gate, skip timing
-                                error_threshold=1e-15,
+                            print(
+                                f"{dev},{'Z' if complex_ else 'D'},urand01,"
+                                f"{mode},{op_a},{op_b},{m},{n},{k},"
+                                f"{err['relative_residual']:e},"
+                                f"{err['max_relative_error']:e},nan",
+                                flush=True,
                             )
+                            if err["relative_residual"] >= 1e-15:
+                                print("^^^ FAILED ^^^^", flush=True)
+                                num_errors += 1
     print(f"{total - num_errors:5d} / {total:5d} PASSED", flush=True)
     return 1 if num_errors else 0
 
