@@ -57,7 +57,7 @@ from .core.handle import (
     get_auto_mantissa_loss_threshold,
 )
 from .utils.profiling import device_trace
-from . import hostref, schedule, testing, types
+from . import hostref, schedule, testing, traced, types
 
 __version__ = "0.1.0"
 
@@ -96,6 +96,7 @@ __all__ = [
     "hostref",
     "schedule",
     "testing",
+    "traced",
     "types",
     "__version__",
 ]
