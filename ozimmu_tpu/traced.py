@@ -25,6 +25,12 @@ Semantics match ``mtk::ozimmu::gemm`` (reference src/gemm.cu:524-653):
 split-count selection under jit use the interceptor's AUTO mode
 (ozimmu_tpu.intercept) — candidate pruning and the lax.switch live
 there.
+
+Complex note: the complex path manipulates only real f64 planes on
+device, but the caller's complex128 arrays themselves must be placeable
+on the backend.  Some remote-TPU tunnel setups hang on complex128
+placement; there, keep complex inputs on CPU (the host API
+``ozimmu_tpu.gemm`` splits re/im on the host by design).
 """
 
 from __future__ import annotations
