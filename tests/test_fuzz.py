@@ -49,6 +49,62 @@ class TestFuzzReal:
         assert num / den < 1e-15, (m, k, n, ns, dist, op_a, op_b, alpha, beta)
 
 
+class TestFuzzTraced:
+    """The in-jit functional surface must bit-match the host API for any
+    random configuration (CPU backend: both are exact)."""
+
+    @pytest.mark.parametrize("seed", range(6))
+    def test_random_config(self, seed):
+        import jax
+        import jax.numpy as jnp
+
+        from ozimmu_tpu import traced
+
+        rng = np.random.default_rng(3000 + seed)
+        m, k, n, ns, dist, _, _, alpha, beta = _case(rng)
+        ns = min(ns, 16)
+        a = generate_input(dist, (m, k), seed=seed)
+        b = generate_input(dist, (k, n), seed=seed + 500)
+        c0 = generate_input("normal01", (m, n), seed=seed + 900) if beta else None
+        if c0 is None:
+            got = jax.jit(
+                lambda x, y: traced.gemm(x, y, num_split=ns, alpha=alpha)
+            )(jnp.asarray(a), jnp.asarray(b))
+        else:
+            got = jax.jit(
+                lambda x, y, z: traced.gemm(
+                    x, y, num_split=ns, alpha=alpha, beta=beta, c=z
+                )
+            )(jnp.asarray(a), jnp.asarray(b), jnp.asarray(c0))
+        host = oz.gemm(a, b, mode=f"fp64_int8_{ns}", alpha=alpha, beta=beta, c=c0)
+        np.testing.assert_array_equal(
+            np.asarray(got).view(np.uint64), host.view(np.uint64),
+            err_msg=str((m, k, n, ns, dist, alpha, beta)),
+        )
+
+
+class TestFuzzComplexSgemm:
+    """Complex f32 demotion across random shapes: must track a
+    complex64-demoted reference at f32-grade accuracy (never silently
+    full-precision)."""
+
+    @pytest.mark.parametrize("seed", range(4))
+    def test_random_config(self, seed):
+        rng = np.random.default_rng(4000 + seed)
+        m = int(rng.integers(8, 120))
+        k = int(rng.integers(8, 160))
+        n = int(rng.integers(8, 120))
+        a = generate_input("normal01", (m, k), seed=seed, complex_=True)
+        b = generate_input("normal01", (k, n), seed=seed + 500, complex_=True)
+        got = oz.gemm(a, b, mode="sgemm")
+        ref32 = (a.astype(np.complex64) @ b.astype(np.complex64)).astype(np.complex128)
+        ref64 = a @ b
+        r32 = np.linalg.norm(got - ref32) / np.linalg.norm(ref32)
+        r64 = np.linalg.norm(got - ref64) / np.linalg.norm(ref64)
+        assert r32 < 1e-5, (m, k, n, r32)
+        assert r64 > 1e-10, (m, k, n, r64)  # really demoted
+
+
 class TestFuzzComplex:
     @pytest.mark.parametrize("seed", range(6))
     def test_random_config(self, seed):
