@@ -480,6 +480,69 @@ def sharded_gemm(
     return out.to_numpy().reshape(m, n)
 
 
+def sharded_gemm_k(
+    a: np.ndarray,
+    b: np.ndarray,
+    num_split: int,
+    mesh: Optional[Mesh] = None,
+    axis_k: str = "k",
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    c: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Host-convenience wrapper for the 1D contraction-parallel variant.
+
+    Shards A ``P(None, k)`` / B ``P(k, None)`` over a 1D mesh (default:
+    all devices), zero-pads m and k up to shard multiples (the
+    ``psum_scatter`` row-scatter needs m | P), runs, gathers back.
+    Real-only (like the underlying :func:`sharded_gemm_k_fn`).
+    """
+    if mesh is None:
+        devs = jax.devices()
+        mesh = Mesh(np.array(devs), (axis_k,))
+    P_sz = mesh.shape[axis_k]
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    if beta != 0 and c is None:
+        raise ValueError("beta != 0 requires c")
+
+    def up(v, q):
+        return -(-v // q) * q
+
+    m_p, k_p = up(m, P_sz), up(k, P_sz)
+    if (m_p, k_p) != (m, k):
+        ap = np.zeros((m_p, k_p), dtype=np.float64)
+        ap[:m, :k] = a
+        bp = np.zeros((k_p, n), dtype=np.float64)
+        bp[:k, :] = b
+        cp = None
+        if c is not None:
+            cp = np.zeros((m_p, n), dtype=np.float64)
+            cp[:m, :] = c
+        return sharded_gemm_k(
+            ap, bp, num_split, mesh, axis_k, alpha=alpha, beta=beta, c=cp
+        )[:m, :n]
+
+    sa = NamedSharding(mesh, P(None, axis_k))
+    sb = NamedSharding(mesh, P(axis_k, None))
+    sc = NamedSharding(mesh, P(axis_k, None))
+
+    def put(x, s) -> F64X:
+        fx = F64X.from_numpy(np.ascontiguousarray(x, np.float64))
+        return F64X(jax.device_put(fx.hi, s), jax.device_put(fx.lo, s))
+
+    fn = jax.jit(
+        sharded_gemm_k_fn(mesh, num_split, k, axis_k, float(alpha), float(beta))
+    )
+    if beta != 0:
+        out = fn(put(a, sa), put(b, sb), put(c, sc))
+    else:
+        out = fn(put(a, sa), put(b, sb))
+    return out.to_numpy().reshape(m, n)
+
+
 def make_mesh_2d(n_devices: Optional[int] = None, axis_x: str = "x", axis_y: str = "y") -> Mesh:
     """Largest 2D mesh (x*y = n) with x as square as possible.
 

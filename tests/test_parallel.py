@@ -165,6 +165,34 @@ class TestShardedEpilogue:
         assert rel < 1e-15
 
 
+class TestKShardedWrapper:
+    """Host wrapper for the contraction-parallel variant, with padding."""
+
+    def test_bitwise_divisible(self):
+        import ozimmu_tpu as oz
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_k
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        a = generate_input("normal01", (64, 512), seed=60)
+        b = generate_input("normal01", (512, 48), seed=61)
+        c0 = generate_input("normal01", (64, 48), seed=62)
+        out = sharded_gemm_k(a, b, 9, alpha=2.0, beta=1.5, c=c0)
+        host = oz.gemm(a, b, mode="fp64_int8_9", alpha=2.0, beta=1.5, c=c0)
+        np.testing.assert_array_equal(out.view(np.uint64), host.view(np.uint64))
+
+    def test_uneven_padded(self):
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_k
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        a = generate_input("urand01", (30, 250), seed=63)
+        b = generate_input("urand01", (250, 20), seed=64)
+        out = sharded_gemm_k(a, b, 9)
+        assert out.shape == (30, 20)
+        assert error_metrics(out, a, b)["relative_residual"] < 1e-15
+
+
 class TestShardedZgemm:
     """Distributed 4-pass complex GEMM (round-1 VERDICT missing #1)."""
 
