@@ -227,12 +227,30 @@ def sustained_run(a: np.ndarray, b: np.ndarray, mode, min_seconds: float = 10.0)
     chunk = 8
     _sync(run(*args, chunk))  # compile + warm up
     iters = 0
+    chunk_times = []
     t0 = time.perf_counter()
     while True:
+        c0 = time.perf_counter()
         _sync(run(*args, chunk))
+        chunk_times.append(time.perf_counter() - c0)
         iters += chunk
         elapsed = time.perf_counter() - t0
         if elapsed >= min_seconds:
             break
     avg = elapsed / iters
+    # Remote-tunnel dispatch can stall for minutes mid-loop (observed);
+    # the mean is still the honest sustained number, but a silent stall
+    # would misrepresent the hardware — flag it loudly.
+    med = sorted(chunk_times)[len(chunk_times) // 2]
+    worst = max(chunk_times)
+    if med > 0 and worst > 5 * med:
+        import sys
+
+        print(
+            f"[sustained_run] WARNING: dispatch stall detected — worst "
+            f"chunk {worst:.1f}s vs median {med:.3f}s over "
+            f"{len(chunk_times)} chunks; the mean includes the stall",
+            file=sys.stderr,
+            flush=True,
+        )
     return flops / avg / 1e12, iters, avg
