@@ -37,28 +37,34 @@ from ozimmu_tpu.core.f64x import F64X
 from ozimmu_tpu.core.gemm import _gemm_core
 from ozimmu_tpu.testing import error_metrics
 
-M = int(os.environ.get("OZ_BENCH_M", 8192))
+M = int(os.environ.get("OZ_BENCH_M", 16384))  # north-star size (BASELINE.md)
 NS = int(os.environ.get("OZ_BENCH_NS", 9))
-ITERS = int(os.environ.get("OZ_BENCH_ITERS", 6))
+ITERS = int(os.environ.get("OZ_BENCH_ITERS", 4 if M >= 16384 else 6))
 # column-panel chunking (bitwise-identical; cuts peak HBM ~NCHUNKS-fold
-# for the B planes / accumulator — required to fit 16384^3 in 16 GB)
-NCHUNKS = int(os.environ.get("OZ_BENCH_NCHUNKS", 4 if M > 8192 else 1))
+# for the B planes / accumulator — what fits 16384^3 in 16 GB).  Default:
+# the engine's own auto selection (schedule.auto_n_chunks), i.e. the same
+# code path a plain oz.gemm/traced.gemm user gets.
+_nc_env = os.environ.get("OZ_BENCH_NCHUNKS", "auto")
 
 
 def log(msg):
     print(msg, file=sys.stderr, flush=True)
 
 
+from ozimmu_tpu.schedule import auto_n_chunks
+
+NCHUNKS = auto_n_chunks(M, M, M, NS) if _nc_env == "auto" else int(_nc_env)
+
+
 @partial(jax.jit, static_argnums=(4, 5))
 def chain_engine(a_hi, a_lo, b_hi, b_lo, ns, iters):
-    from ozimmu_tpu.core.gemm import _gemm_core_nchunked
+    from ozimmu_tpu.core.gemm import gemm_f64x
 
     def body(i, carry):
         a_lo, b_lo = carry
-        if NCHUNKS > 1:
-            out = _gemm_core_nchunked(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, NCHUNKS)
-        else:
-            out = _gemm_core(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, 1.0, 0.0)
+        # the production dispatch path (auto-chunk resolved above so the
+        # native-baseline chunking below can mirror it)
+        out = gemm_f64x(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, n_chunks=NCHUNKS)
         # dependency: flip one low mantissa bit of BOTH operands per
         # element so neither operand's split can be hoisted out of the
         # loop — each iteration pays the full gemm cost

@@ -37,6 +37,25 @@ from ..ops.recombine import acc_shift, recombine_auto
 from ..ops.split import split_f64x, split_f64x_cols
 
 
+def _epilogue_SE(S, E, alpha: float, beta: float, c: Optional[F64X]) -> F64X:
+    """``alpha * (S * 2^E) + beta * c`` in extended precision, packed to
+    IEEE f64 bits with one rounding (reference axby, gemm.cu:124-158)."""
+    if alpha != 1.0:
+        at, ae = scalar_triple(alpha)
+        S = tf32x3.mul(S, at)
+        E = E + np.int32(ae)
+    if beta != 0.0:
+        if c is None:
+            raise ValueError("beta != 0 requires c")
+        ct, cE = unpack_f64x(c)
+        if beta != 1.0:
+            bt, be = scalar_triple(beta)
+            ct = tf32x3.mul(ct, bt)
+            cE = cE + np.int32(be)
+        S, E = aligned_add(S, E, ct, cE)
+    return pack_f64x(S, E)
+
+
 @partial(jax.jit, static_argnums=(2, 3, 4), inline=True)
 def _gemm_core(
     a: F64X,
@@ -54,50 +73,51 @@ def _gemm_core(
     db, pb = split_f64x_cols(b, num_split, bb)
     S = recombine_auto(da, db, num_split, bb, k)
     E = (pa[:, None] + pb[None, :] - acc_shift(num_split, bb)).astype(jnp.int32)
-
-    if alpha != 1.0:
-        at, ae = scalar_triple(alpha)
-        S = tf32x3.mul(S, at)
-        E = E + np.int32(ae)
-    if beta != 0.0:
-        if c is None:
-            raise ValueError("beta != 0 requires c")
-        ct, cE = unpack_f64x(c)
-        if beta != 1.0:
-            bt, be = scalar_triple(beta)
-            ct = tf32x3.mul(ct, bt)
-            cE = cE + np.int32(be)
-        S, E = aligned_add(S, E, ct, cE)
-    return pack_f64x(S, E)
+    return _epilogue_SE(S, E, alpha, beta, c)
 
 
-@partial(jax.jit, static_argnums=(2, 3), inline=True)
-def _gemm_core_nchunked(a: F64X, b: F64X, num_split: int, n_chunks: int):
+def _col_slice(x: Optional[F64X], j0: int, j1: int) -> Optional[F64X]:
+    if x is None:
+        return None
+    return F64X(
+        jax.lax.slice_in_dim(x.hi, j0, j1, axis=1),
+        jax.lax.slice_in_dim(x.lo, j0, j1, axis=1),
+    )
+
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5), inline=True)
+def _gemm_core_nchunked(
+    a: F64X,
+    b: F64X,
+    num_split: int,
+    n_chunks: int,
+    alpha: float = 1.0,
+    beta: float = 0.0,
+    c: Optional[F64X] = None,
+):
     """Column-panel-chunked engine: split A once, stream B in n panels.
 
     Bitwise-identical to :func:`_gemm_core` (B's split is per-column
-    independent and the recombination sees the full k), but peak HBM for
-    the B planes / int32 output / triple-f32 accumulator drops by
-    ~n_chunks — what makes 16384^3 fit in a v5e's 16 GB.  No epilogue
-    (headline-bench path); ``n % n_chunks == 0`` required.
+    independent, the recombination sees the full k, and the epilogue is
+    elementwise), but peak HBM for the B planes / int32 partials /
+    triple-f32 accumulator drops by ~n_chunks — what makes 16384^3 fit
+    in a v5e's 16 GB.  Full gemm contract: alpha/beta/c supported; any
+    ``n`` (the last panel is simply narrower).
     """
     m, k = a.shape
     n = b.shape[1]
-    assert n % n_chunks == 0, (n, n_chunks)
-    w = n // n_chunks
+    w = -(-n // n_chunks)
     bb = bits_per_int8(k)
     shift = np.int32(acc_shift(num_split, bb))
     da, pa = split_f64x(a, num_split, bb)
     outs = []
-    for j in range(n_chunks):
-        bj = F64X(
-            jax.lax.slice_in_dim(b.hi, j * w, (j + 1) * w, axis=1),
-            jax.lax.slice_in_dim(b.lo, j * w, (j + 1) * w, axis=1),
-        )
+    for j0 in range(0, n, w):
+        j1 = min(j0 + w, n)
+        bj = _col_slice(b, j0, j1)
         db, pb = split_f64x_cols(bj, num_split, bb)
         S = recombine_auto(da, db, num_split, bb, k)
         E = (pa[:, None] + pb[None, :] - shift).astype(jnp.int32)
-        outs.append(pack_f64x(S, E))
+        outs.append(_epilogue_SE(S, E, alpha, beta, _col_slice(c, j0, j1)))
     return F64X(
         jnp.concatenate([o.hi for o in outs], axis=1),
         jnp.concatenate([o.lo for o in outs], axis=1),
@@ -111,12 +131,32 @@ def gemm_f64x(
     alpha: float = 1.0,
     beta: float = 0.0,
     c: Optional[F64X] = None,
+    n_chunks: Optional[int] = None,
 ) -> F64X:
-    """Emulated FP64 GEMM on exact bit planes: alpha*(a@b) + beta*c."""
+    """Emulated FP64 GEMM on exact bit planes: alpha*(a@b) + beta*c.
+
+    ``n_chunks=None`` auto-selects column-panel streaming from the
+    working-set estimate vs the HBM budget (schedule.auto_n_chunks), so
+    huge shapes (e.g. 16384^3 on a 16 GB v5e) work through the ordinary
+    entry points with no env knobs — the reference ``gemm`` contract
+    (gemm.cu:524-653) works at any size memory allows.  1 forces the
+    single-graph engine; chunked and unchunked results are bitwise
+    identical.
+    """
     if a.shape[1] != b.shape[0]:
         raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
     if bits_per_int8(a.shape[1]) <= 0:
         raise ValueError(f"k={a.shape[1]} too large for int8 emulation")
+    m, k = a.shape
+    n = b.shape[1]
+    if n_chunks is None:
+        from ..schedule import auto_n_chunks
+
+        n_chunks = auto_n_chunks(m, n, k, num_split)
+    if n_chunks > 1:
+        return _gemm_core_nchunked(
+            a, b, num_split, n_chunks, float(alpha), float(beta), c
+        )
     return _gemm_core(a, b, num_split, float(alpha), float(beta), c)
 
 
@@ -220,6 +260,62 @@ def _zgemm_core(
     return _zfold_passes(SEs, m, n, alpha, beta, c_re, c_im)
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 7), inline=True)
+def _zgemm_core_nchunked(
+    a_re: F64X,
+    a_im: F64X,
+    b_re: F64X,
+    b_im: F64X,
+    num_split: int,
+    n_chunks: int,
+    alpha: complex,
+    beta: complex,
+    c_re: Optional[F64X] = None,
+    c_im: Optional[F64X] = None,
+):
+    """Column-panel-chunked 4-pass complex engine (bitwise-identical to
+    :func:`_zgemm_core`): A's four plane splits happen once; each B
+    column panel runs the four recombination passes and the complex fold
+    locally (the fold is elementwise, so chunking columns is exact)."""
+    m, k = a_re.shape
+    n = b_re.shape[1]
+    w = -(-n // n_chunks)
+    bb = bits_per_int8(k)
+    shift = np.int32(acc_shift(num_split, bb))
+
+    da_re, pa_re = split_f64x(a_re, num_split, bb)
+    da_im, pa_im = split_f64x(a_im, num_split, bb)
+    a_planes = {0: (da_re, pa_re), 1: (da_im, pa_im)}
+
+    outs_re, outs_im = [], []
+    for j0 in range(0, n, w):
+        j1 = min(j0 + w, n)
+        db_re, pb_re = split_f64x_cols(_col_slice(b_re, j0, j1), num_split, bb)
+        db_im, pb_im = split_f64x_cols(_col_slice(b_im, j0, j1), num_split, bb)
+        b_planes = {0: (db_re, pb_re), 1: (db_im, pb_im)}
+        SEs = []
+        for ap, bp in ZGEMM_PASSES:
+            da, pa = a_planes[ap]
+            db, pb = b_planes[bp]
+            S = recombine_auto(da, db, num_split, bb, k)
+            E = (pa[:, None] + pb[None, :] - shift).astype(jnp.int32)
+            SEs.append((S, E))
+        o_re, o_im = _zfold_passes(
+            SEs, m, j1 - j0, alpha, beta,
+            _col_slice(c_re, j0, j1), _col_slice(c_im, j0, j1),
+        )
+        outs_re.append(o_re)
+        outs_im.append(o_im)
+
+    def cat(outs):
+        return F64X(
+            jnp.concatenate([o.hi for o in outs], axis=1),
+            jnp.concatenate([o.lo for o in outs], axis=1),
+        )
+
+    return cat(outs_re), cat(outs_im)
+
+
 def zgemm_f64x(
     a_re: F64X,
     a_im: F64X,
@@ -230,8 +326,25 @@ def zgemm_f64x(
     beta: complex = 0.0 + 0j,
     c_re: Optional[F64X] = None,
     c_im: Optional[F64X] = None,
+    n_chunks: Optional[int] = None,
 ):
-    """Emulated complex FP64 GEMM (4-pass real engine)."""
+    """Emulated complex FP64 GEMM (4-pass real engine).
+
+    Like :func:`gemm_f64x`, ``n_chunks=None`` auto-selects column-panel
+    streaming from the working-set estimate so huge complex shapes run
+    through the ordinary entry point; chunked output is bitwise-identical.
+    """
+    m, k = a_re.shape
+    n = b_re.shape[1]
+    if n_chunks is None:
+        from ..schedule import auto_n_chunks
+
+        n_chunks = auto_n_chunks(m, n, k, num_split, complex_=True)
+    if n_chunks > 1:
+        return _zgemm_core_nchunked(
+            a_re, a_im, b_re, b_im, num_split, n_chunks,
+            complex(alpha), complex(beta), c_re, c_im,
+        )
     return _zgemm_core(
         a_re, a_im, b_re, b_im, num_split, complex(alpha), complex(beta), c_re, c_im
     )

@@ -140,3 +140,65 @@ def working_set_bytes(
     acc = (3 * 4 + 4) * m * n * factor  # f32 triple + exponent
     c_io = 8 * m * n * factor  # packed result bits
     return slices + exps + acc + c_io
+
+
+def working_set_bytes_chunked(
+    m: int, n: int, k: int, num_split: int, n_chunks: int, complex_: bool = False
+) -> int:
+    """Peak device working set of the column-panel-chunked engine.
+
+    The chunked engine (core.gemm._gemm_core_nchunked) keeps A's operand
+    bits and int8 planes plus B's operand bits and the full output
+    resident, and streams B's planes / int32 partials / triple-f32
+    accumulator one n-panel at a time — so those scale by 1/n_chunks.
+    Used by :func:`auto_n_chunks` to make huge shapes a first-class
+    ``gemm`` capability instead of an env-knob bench path.
+    """
+    factor = 2 if complex_ else 1
+    w = -(-n // n_chunks)
+    resident = factor * (
+        8 * m * k  # A operand bit planes (hi+lo uint32)
+        + 8 * k * n  # B operand bit planes
+        + 8 * m * n  # packed output
+        + num_split * m * k  # A int8 digit planes
+    )
+    per_chunk = factor * (
+        num_split * k * w  # B panel int8 digit planes
+        + (12 + 4 + 4 + 8) * m * w  # triple-f32 + E + int32 partial + out
+    )
+    if complex_:
+        # the 4-pass engine holds all four (S, E) pass results of the
+        # current panel before folding
+        per_chunk += 3 * (12 + 4) * m * w
+    return resident + per_chunk
+
+
+#: default HBM budget (MB) for auto-chunk selection: a 16 GB v5e with
+#: headroom for XLA temporaries/fusion slack.  Override with
+#: OZIMMU_HBM_BUDGET_MB (e.g. 90000 on a v5p).
+_DEFAULT_HBM_BUDGET_MB = 11264
+
+
+def hbm_budget_bytes() -> int:
+    import os
+
+    mb = int(os.environ.get("OZIMMU_HBM_BUDGET_MB", _DEFAULT_HBM_BUDGET_MB))
+    return mb * (1 << 20)
+
+
+def auto_n_chunks(
+    m: int, n: int, k: int, num_split: int, complex_: bool = False
+) -> int:
+    """Smallest column-panel count whose peak working set fits the HBM
+    budget (1 = unchunked).  Doubling sweep, capped at min(n, 64): beyond
+    that, panels are too narrow to feed the MXU efficiently and the
+    problem simply does not fit — let the runtime report the OOM.
+    """
+    budget = hbm_budget_bytes()
+    c = 1
+    while (
+        working_set_bytes_chunked(m, n, k, num_split, c, complex_) > budget
+        and c < min(n, 64)
+    ):
+        c *= 2
+    return min(c, max(n, 1))

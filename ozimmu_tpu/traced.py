@@ -40,7 +40,7 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-from .core.gemm import _gemm_core, _zgemm_core
+from .core.gemm import gemm_f64x, zgemm_f64x
 from .intercept import f64_to_f64x_traced, f64x_to_f64_traced
 from .schedule import bits_per_int8
 
@@ -58,12 +58,19 @@ def gemm(
     alpha=1.0,
     beta=0.0,
     c: Optional[jax.Array] = None,
+    n_chunks: Optional[int] = None,
 ):
     """Jittable ``alpha * a @ b + beta * c`` on [m,k] @ [k,n] arrays.
 
     float64 inputs run the real engine; complex128 inputs the 4-pass
     complex engine.  ``num_split``/``alpha``/``beta`` must be static
     under jit (they shape the compiled program).
+
+    ``n_chunks=None`` auto-selects column-panel streaming from the
+    working-set estimate (schedule.auto_n_chunks) at trace time, so huge
+    shapes compile into the memory-bounded chunked engine with no knobs;
+    pass 1 to force the single-graph engine.  Chunked results are
+    bitwise-identical.
     """
     if a.ndim != 2 or b.ndim != 2:
         raise ValueError(f"expected 2D operands, got {a.shape} @ {b.shape}")
@@ -85,8 +92,9 @@ def gemm(
             c = c.astype(jnp.complex128)
             cr = f64_to_f64x_traced(jnp.real(c))
             ci = f64_to_f64x_traced(jnp.imag(c))
-        out_re, out_im = _zgemm_core(
-            ar, ai, br, bi, num_split, complex(alpha), complex(beta), cr, ci
+        out_re, out_im = zgemm_f64x(
+            ar, ai, br, bi, num_split, complex(alpha), complex(beta), cr, ci,
+            n_chunks=n_chunks,
         )
         return jax.lax.complex(
             f64x_to_f64_traced(out_re), f64x_to_f64_traced(out_im)
@@ -95,7 +103,7 @@ def gemm(
     ax = f64_to_f64x_traced(a.astype(jnp.float64))
     bx = f64_to_f64x_traced(b.astype(jnp.float64))
     cx = f64_to_f64x_traced(c.astype(jnp.float64)) if c is not None else None
-    out = _gemm_core(ax, bx, num_split, float(alpha), float(beta), cx)
+    out = gemm_f64x(ax, bx, num_split, float(alpha), float(beta), cx, n_chunks=n_chunks)
     return f64x_to_f64_traced(out)
 
 
