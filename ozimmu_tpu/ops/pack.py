@@ -12,10 +12,15 @@ Everything uses native int32/f32 plus (emulated) int64 shifts; correctness
 is validated bit-for-bit against numpy on the CPU backend, where all JAX
 dtypes are true IEEE.
 
-Rounding contract: round-to-nearest with two guard bits and ties broken
-upward (not to-even); worst-case error vs correctly-rounded f64 is
-~(0.5 + 2^-2) ulp plus the 2^-71 accumulator error — well inside the
-reference's own per-step f64 rounding envelope.
+Rounding contract: round-to-nearest-even (IEEE default).  The packed
+result is the CORRECTLY ROUNDED f64 of the exact triple-f32 accumulator
+value ``(t0+t1+t2) * 2^E``: the significand is assembled with floor
+shifts, an 8-bit guard fraction and a sticky bit, and rounded ONCE to the
+target precision (normal or subnormal) — ties to even.  The only residual
+error vs infinitely-precise arithmetic is the ~2^-71 accumulation error
+of the triple itself, which is strictly inside the reference's per-step
+f64 rounding envelope (gemm.cu:77-102 rounds every one of ns(ns+1)/2
+partial-product accumulations to f64).
 """
 
 from __future__ import annotations
@@ -36,13 +41,21 @@ _F32_IMPL = np.int32(1 << 23)
 
 
 def _f32_fields(x: jax.Array) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """(sign(+1/-1), exponent field, significand int incl. implicit bit)."""
+    """(sign(+1/-1), exponent field, significand int incl. implicit bit).
+
+    f32 subnormals (ef == 0) carry their raw mantissa with no implicit
+    bit — the same significand formula as ef == 1 — so tail components
+    that underflowed to subnormal still contribute exactly (pack_f64x
+    reads their exponent as ``max(ef, 1)``).  The engine keeps its
+    accumulator components in normal range (ops/recombine.py ACC_SHIFT),
+    so on TPU — which flushes f32 denormals in arithmetic — this path
+    only ever sees zeros; on CPU it makes pack exact for out-of-envelope
+    inputs too.
+    """
     bits = jax.lax.bitcast_convert_type(x, jnp.int32)
     sgn = jnp.where(bits < 0, np.int32(-1), np.int32(1))
     ef = (bits >> 23) & np.int32(0xFF)
     m = (bits & _F32_MANT) | jnp.where(ef > 0, _F32_IMPL, np.int32(0))
-    # Treat f32 denormals as zero (TPU flushes them anyway).
-    m = jnp.where(ef > 0, m, np.int32(0))
     return sgn, ef, m
 
 
@@ -65,11 +78,37 @@ def unpack_f64x(c: F64X) -> Tuple[Triple, jax.Array]:
     return (t0 * sgn, t1 * sgn, t2 * sgn), E.astype(jnp.int32)
 
 
+def _rne_shift(q, F, sticky, s):
+    """``round((q + F/64 + sticky_eps) / 2^s)`` with ties to even.
+
+    ``q`` int64 >= 0; ``F`` int64 in [0, 128) is a 6-bit-resolution
+    fraction below q's LSB (it may reach 1 whole q-unit or more, which
+    the comparisons below account for); ``sticky`` flags nonzero value
+    below F's resolution.  ``s`` int64 in [1, 62] per element.
+    """
+    one = jnp.int64(1)
+    rem = q & (jax.lax.shift_left(one, s) - one)
+    half = jax.lax.shift_left(one, s - 1)
+    base = jax.lax.shift_right_logical(q, s)
+    odd = (base & one) == one
+    has_f = (F > 0) | sticky
+    # true remainder = rem + F/64 (+eps); F/64 < 2 so only rem in
+    # {half-1, half, >half} can reach or pass the halfway point
+    up = (
+        (rem > half)
+        | ((rem == half) & (has_f | odd))
+        | ((rem == half - 1) & ((F > 64) | ((F == 64) & (sticky | odd))))
+    )
+    return base + jnp.where(up, one, jnp.int64(0))
+
+
 def pack_f64x(t: Triple, E: jax.Array) -> F64X:
-    """Round ``(t0+t1+t2) * 2^E`` to nearest f64 and emit IEEE bit planes.
+    """Round ``(t0+t1+t2) * 2^E`` to nearest f64 (ties to even) and emit
+    IEEE bit planes.
 
     Handles normals, carries across the power-of-two boundary, subnormal
-    outputs (with rounding) and overflow to inf.
+    outputs (single rounding straight from the accumulator — no double
+    rounding) and overflow to inf.
     """
     t = tf32x3.renorm(t)
     E = jnp.asarray(E, dtype=jnp.int32)
@@ -79,38 +118,61 @@ def pack_f64x(t: Triple, E: jax.Array) -> F64X:
     s2, ef2, m2 = _f32_fields(t[2])
     is_zero = ef0 == 0  # head is zero/denormal-f32 -> result 0
 
-    # Guard-space significand: q_g = round-able integer with 2 guard bits:
-    #   q_g ~= |v| * 2^(54 - e0),  v = t0+t1+t2, e0 = floor(log2|t0|)
-    # head contributes m0 << 31 exactly; tails shift by their exponent gap.
+    # Guard-space significand: q = floor(|v| * 2^(54 - e0)) (2 guard bits
+    # below the 53-bit target), v = t0+t1+t2, e0 = floor(log2|t0|).  The
+    # head contributes m0 << 31 exactly; tails are signed floor-shifted by
+    # their exponent gap, with the shifted-out bits captured exactly as a
+    # 6-bit fraction F (in 1/64 q-units) plus a sticky flag below that —
+    # enough to round correctly: renorm guarantees the tails sit >= ~24
+    # binades down, so at most two tail fractions (each < 1) accumulate.
     neg = s0 < 0
     q = m0.astype(jnp.int64) << 31
+    F = jnp.zeros(q.shape, dtype=jnp.int64)
+    sticky = jnp.zeros(q.shape, dtype=jnp.bool_)
     for sgn_i, ef_i, m_i in ((s1, ef1, m1), (s2, ef2, m2)):
-        gap = jnp.clip(ef0 - ef_i, 0, 63).astype(jnp.int64)
-        contrib = (m_i.astype(jnp.int64) << 31) >> gap
-        q = q + jnp.where((sgn_i * s0) < 0, -contrib, contrib)
+        gap = jnp.clip(ef0 - jnp.maximum(ef_i, 1), 0, 63).astype(jnp.int64)
+        sc = m_i.astype(jnp.int64) << 31
+        sc = jnp.where((sgn_i * s0) < 0, -sc, sc)
+        contrib = jax.lax.shift_right_arithmetic(sc, gap)  # floor (exact dir.)
+        lost = sc - jax.lax.shift_left(contrib, gap)  # in [0, 2^gap)
+        q = q + contrib
+        gl = jnp.maximum(jnp.int64(6) - gap, 0)
+        gr = jnp.maximum(gap - jnp.int64(6), 0)
+        frac6 = jnp.where(
+            gap <= 6,
+            jax.lax.shift_left(lost, gl),
+            jax.lax.shift_right_logical(lost, gr),
+        )
+        F = F + frac6
+        sticky = sticky | (jax.lax.shift_left(frac6, gr) != jnp.where(gap <= 6, frac6, lost))
 
-    # Round to 53 bits (half-up in the 2-guard-bit space).
-    q53 = (q + 2) >> 2
-    # If cancellation dropped the head below 2^52, shift scale down a bit.
-    need_down = q53 < np.int64(1 << 52)
-    q53 = jnp.where(need_down, (q + 1) >> 1, q53)
+    # If cancellation dropped the UNROUNDED value below 2^(e0) (i.e. q
+    # below 2^54), the target scale is one binade down (one fewer guard
+    # bit).  Decided on the floor, NOT the rounded value: a value just
+    # under the binade boundary must round within the lower binade's
+    # finer ulp (e.g. 2^52 - 0.5 is exactly representable there).
+    need_down = q < (jnp.int64(1) << 54)
     e0 = (ef0 - 127) - jnp.where(need_down, 1, 0)
 
     Ef = e0 + E + np.int32(1023)  # biased f64 exponent (pre-carry)
     is_inf = Ef >= 2047  # outright overflow (pre-carry; carry handled below)
     Ef_c = jnp.clip(Ef, -1, 2046)  # keep the int64 shift in range
 
-    # Subnormal path: shift the 53-bit significand right with rounding.
+    # Total right-shift from q to the target significand: 2 guard bits
+    # (1 when cancellation moved the scale down) plus the subnormal
+    # underflow shift — applied in ONE rounding, directly from q.
     r = jnp.clip(1 - Ef, 0, 62).astype(jnp.int64)
-    half = jnp.where(r > 0, jnp.int64(1) << jnp.maximum(r - 1, 0), jnp.int64(0))
-    q_sub = (q53 + half) >> r
+    s_eff = jnp.where(need_down, jnp.int64(1), jnp.int64(2))
+    st = jnp.clip(s_eff + r, 1, 62)
+    q_final = _rne_shift(q, F, sticky, st)
     is_sub = Ef <= 0
+
     # Assemble by addition so mantissa carries ripple into the exponent:
-    # q53 == 2^53 after rounding -> exponent += 1 (2046 carries to the inf
-    # encoding, which is exactly right); subnormal rounding up to 2^52 ->
-    # smallest normal.
-    bits_normal = (Ef_c.astype(jnp.int64) << 52) + (q53 - (jnp.int64(1) << 52))
-    bits = jnp.where(is_sub, q_sub, bits_normal)
+    # q_final == 2^53 after rounding -> exponent += 1 (2046 carries to the
+    # inf encoding, which is exactly right); subnormal rounding up to 2^52
+    # -> smallest normal.
+    bits_normal = (Ef_c.astype(jnp.int64) << 52) + (q_final - (jnp.int64(1) << 52))
+    bits = jnp.where(is_sub, q_final, bits_normal)
     bits = jnp.where(is_inf, jnp.int64(2047) << 52, bits)
     bits = jnp.where(is_zero, jnp.int64(0), bits)
 
