@@ -264,9 +264,31 @@ def gemm(
 
     Returns the same container kind as ``a`` (numpy -> numpy, F64X -> F64X).
     Complex (numpy complex128) inputs run the 4-pass complex engine.
+
+    NaN/Inf contract (same as the reference, whose split kernel reads
+    exponent bits without a non-finite check, split.cu:154-185): a NaN or
+    +-Inf element makes its OWN output row (via A) or column (via B)
+    garbage — the 0x7FF exponent field enters that row/column's max-
+    exponent scale, so affected outputs come back huge-finite or +-Inf,
+    NOT necessarily NaN.  Rows/columns without non-finite elements are
+    computed exactly as usual.  Set ``OZIMMU_CHECK_FINITE=1`` to raise
+    ``ValueError`` on non-finite numpy inputs instead (tested in
+    tests/test_api.py::TestNonFiniteContract).
     """
     _require_x64()
     handle = handle or default_handle()
+
+    if isinstance(a, np.ndarray):
+        from ..utils.env import env_flag
+
+        if env_flag("OZIMMU_CHECK_FINITE", False):
+            for nm, arr in (("a", a), ("b", b), ("c", c)):
+                if arr is not None and not np.isfinite(arr).all():
+                    raise ValueError(
+                        f"non-finite values in operand {nm} "
+                        "(OZIMMU_CHECK_FINITE=1; NaN/Inf are outside the "
+                        "engine contract)"
+                    )
     mode_r = handle.resolve_mode(mode)
     op_a = Operation.parse(op_a)
     op_b = Operation.parse(op_b)
@@ -353,22 +375,19 @@ def _gemm_complex_np(handle, a, b, mode_r, op_a, op_b, alpha, beta, c):
     b = _apply_op_np(np.asarray(b, dtype=np.complex128), op_b)
     m, k = a.shape
     _, n = b.shape
+    axr = F64X.from_numpy(np.ascontiguousarray(a.real))
+    axi = F64X.from_numpy(np.ascontiguousarray(a.imag))
+    bxr = F64X.from_numpy(np.ascontiguousarray(b.real))
+    bxi = F64X.from_numpy(np.ascontiguousarray(b.imag))
     if mode_r is ComputeMode.FP64_INT8_AUTO:
-        # loss over both real and imag planes (reference runs the complex
-        # kernel accumulating all four part-planes into one counter)
-        ax = F64X.from_numpy(np.ascontiguousarray(a.real))
-        bx = F64X.from_numpy(np.ascontiguousarray(b.real))
-        mode_re = _auto_mode_select_core(ax, bx, k, handle.avg_mantissa_loss_threshold)
-        axi = F64X.from_numpy(np.ascontiguousarray(a.imag))
-        bxi = F64X.from_numpy(np.ascontiguousarray(b.imag))
-        mode_im = _auto_mode_select_core(axi, bxi, k, handle.avg_mantissa_loss_threshold)
-        candidates = [m_ for m_ in (mode_re, mode_im)]
-        if ComputeMode.DGEMM in candidates:
-            mode_r = ComputeMode.DGEMM
-        else:
-            mode_r = ComputeMode.from_num_split(
-                max(mode_re.num_split, mode_im.num_split)
-            )
+        # ONE shared loss counter over all four re/im planes (reference
+        # complex estimator split.cu:69-152 + selection 473-493) — the
+        # same auto_mode_select_complex every other surface uses
+        from ..ops.mantissa_loss import auto_mode_select_complex
+
+        mode_r = auto_mode_select_complex(
+            axr, axi, bxr, bxi, k, handle.avg_mantissa_loss_threshold
+        )
         log(f"AUTO selected mode = {mode_r.value} (complex)")
 
     if beta != 0 and c is None:
@@ -379,10 +398,6 @@ def _gemm_complex_np(handle, a, b, mode_r, op_a, op_b, alpha, beta, c):
             _check_k_supported(k)
             cre = F64X.from_numpy(np.ascontiguousarray(c.real)) if c is not None else None
             cim = F64X.from_numpy(np.ascontiguousarray(c.imag)) if c is not None else None
-            axr = F64X.from_numpy(np.ascontiguousarray(a.real))
-            axi = F64X.from_numpy(np.ascontiguousarray(a.imag))
-            bxr = F64X.from_numpy(np.ascontiguousarray(b.real))
-            bxi = F64X.from_numpy(np.ascontiguousarray(b.imag))
             if handle.profiler.enabled:
                 re, im = _zgemm_staged(
                     handle, axr, axi, bxr, bxi, mode_r.num_split,
@@ -486,19 +501,20 @@ def _gemm_batched_complex(a, b, mode_r, alpha, beta, c, handle):
     B, m, k = a.shape
     n = b.shape[2]
     if mode_r is ComputeMode.FP64_INT8_AUTO:
-        # one mode for the whole batch, from the flattened planes
-        ax = F64X.from_numpy(a.real.reshape(-1, k))
-        bx = F64X.from_numpy(np.swapaxes(b.real, 1, 2).reshape(-1, k))
-        mode_re = _auto_mode_select_core(ax, bx, k, handle.avg_mantissa_loss_threshold, b_is_cols=False)
-        axi = F64X.from_numpy(a.imag.reshape(-1, k))
-        bxi = F64X.from_numpy(np.swapaxes(b.imag, 1, 2).reshape(-1, k))
-        mode_im = _auto_mode_select_core(axi, bxi, k, handle.avg_mantissa_loss_threshold, b_is_cols=False)
-        if not (mode_re.is_int8 and mode_im.is_int8):
-            mode_r = ComputeMode.DGEMM
-        else:
-            mode_r = ComputeMode.from_num_split(
-                max(mode_re.num_split, mode_im.num_split)
-            )
+        # one mode for the whole batch: the SAME shared four-plane counter
+        # as every other complex surface, over the flattened batch (rows
+        # of [B*m, k] / [B*n, k] are exactly the per-matrix scale groups)
+        from ..ops.mantissa_loss import auto_mode_select_complex
+
+        mode_r = auto_mode_select_complex(
+            F64X.from_numpy(a.real.reshape(-1, k)),
+            F64X.from_numpy(a.imag.reshape(-1, k)),
+            F64X.from_numpy(np.ascontiguousarray(np.swapaxes(b.real, 1, 2)).reshape(-1, k)),
+            F64X.from_numpy(np.ascontiguousarray(np.swapaxes(b.imag, 1, 2)).reshape(-1, k)),
+            k,
+            handle.avg_mantissa_loss_threshold,
+            b_is_cols=False,
+        )
         log(f"AUTO selected mode = {mode_r.value} (batched complex)")
     if mode_r is ComputeMode.SGEMM:
         # f32-demoted complex batch (reference CgemmStridedBatched demotion,

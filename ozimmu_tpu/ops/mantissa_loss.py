@@ -63,6 +63,63 @@ def mantissa_loss_totals(x: F64X, b: int, axis: int = 1) -> jax.Array:
     return jnp.sum(loss.astype(jnp.int64), axis=(1, 2))
 
 
+def complex_loss_totals(
+    a_re: F64X,
+    a_im: F64X,
+    b_re: F64X,
+    b_im: F64X,
+    k: int,
+    b_is_cols: bool = True,
+) -> jax.Array:
+    """ONE shared loss counter over all four re/im planes — the reference
+    complex estimator semantics (split.cu:69-152 feeding 300-518): the
+    complex kernel accumulates the losses of both parts of every element
+    into the same per-mode counter.  Returns int64 [16].
+
+    Deliberate deviation (documented): scale groups are per-PLANE row/col
+    maxima, matching this engine's complex split (core/gemm._zgemm_core
+    splits the four planes independently), where the reference shares one
+    row max across re/im (its side-by-side slice layout requires it,
+    split.cu:211-216).  Per-plane maxima never report MORE loss than the
+    engine actually incurs.
+    """
+    bb = bits_per_int8(k)
+    b_axis = 0 if b_is_cols else 1
+    return (
+        mantissa_loss_totals(a_re, bb, 1)
+        + mantissa_loss_totals(a_im, bb, 1)
+        + mantissa_loss_totals(b_re, bb, b_axis)
+        + mantissa_loss_totals(b_im, bb, b_axis)
+    )
+
+
+def auto_mode_select_complex(
+    a_re: F64X,
+    a_im: F64X,
+    b_re: F64X,
+    b_im: F64X,
+    k: int,
+    threshold: float,
+    b_is_cols: bool = True,
+) -> ComputeMode:
+    """Complex AUTO selection from the single shared counter.
+
+    The average divides by the total number of REAL plane elements,
+    ``2 * (m*k + k*n)`` — identical semantics on every surface (host API,
+    batched, interceptor eager and traced), per VERDICT r2 item 3.
+    """
+    totals = np.asarray(
+        jax.device_get(complex_loss_totals(a_re, a_im, b_re, b_im, k, b_is_cols))
+    )
+    m = a_re.shape[0]
+    n = b_re.shape[1] if b_is_cols else b_re.shape[0]
+    denom = 2.0 * (m * k + k * n)
+    for idx, ns in enumerate(_NS_CANDIDATES):
+        if totals[idx] / denom <= threshold:
+            return ComputeMode.from_num_split(int(ns))
+    return ComputeMode.DGEMM
+
+
 def auto_mode_select(
     a: F64X,
     b_mat: F64X,
