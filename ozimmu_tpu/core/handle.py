@@ -44,6 +44,11 @@ class Handle:
     avg_mantissa_loss_threshold: float = 0.0
     default_mode: Optional[ComputeMode] = None
     profiler: PhaseProfiler = dataclasses.field(default_factory=PhaseProfiler)
+    #: advisory working-memory floor set by the bytes overload of
+    #: reallocate_working_memory (reference handle.cu:63-93).  XLA owns
+    #: real allocation; this records the caller's reservation intent and
+    #: is grow-only, like the reference arena.
+    working_memory_bytes: int = 0
 
     def resolve_mode(self, mode: Optional[ComputeModeLike]) -> ComputeMode:
         """Explicit arg > handle default > env OZIMMU_COMPUTE_MODE > auto."""
@@ -112,15 +117,33 @@ def get_auto_mantissa_loss_threshold(handle: Handle) -> float:
     return handle.avg_mantissa_loss_threshold
 
 
-def reallocate_working_memory(handle: Handle, gemm_list: GemmList) -> int:
+def reallocate_working_memory(handle: Handle, gemm_list) -> int:
     """Warm the compile cache for the listed GEMMs; return est. bytes.
 
     The reference grows a device arena to the max working set
     (handle.cu:95-144); XLA allocates per-computation, so the actionable
     equivalent is AOT compilation of each (shape, mode) so later calls
     don't pay the (large) first-compile cost.
+
+    Bytes overload (reference handle.cu:63-93): passing an ``int`` grows
+    the handle's advisory reservation instead — under XLA there is no
+    arena to resize, so the request is recorded grow-only (exactly the
+    reference's no-op-when-smaller behavior) and logged; returns the
+    current reservation.
     """
     from . import api  # local import to avoid a cycle
+
+    if isinstance(gemm_list, int):
+        size = int(gemm_list)
+        if size > handle.working_memory_bytes:
+            handle.working_memory_bytes = size
+            log(f"Reallocated working memory advisory to {size} B")
+        else:
+            log(
+                f"Working memory advisory kept at {handle.working_memory_bytes} B"
+                f" (requested {size} B; grow-only, reference handle.cu:68-72)"
+            )
+        return handle.working_memory_bytes
 
     max_bytes = 0
     for op_a, op_b, m, n, k, kind, mode in gemm_list:
