@@ -217,6 +217,22 @@ def sharded_gemm_k_fn(
     return _wrap_kernel(mesh, _body, spec_a, spec_b, spec_c, with_c=beta != 0.0)
 
 
+def _skew(planes, ring_axis, amount_idx, q):
+    """Rotate ``planes`` along ``ring_axis`` by a per-device amount (the
+    other mesh coordinate), in log2(q) masked ppermute rounds — the
+    Cannon initial alignment."""
+    r = 0
+    while (1 << r) < q:
+        sh = 1 << r
+        rot = jax.lax.ppermute(
+            planes, ring_axis, [((p + sh) % q, p) for p in range(q)]
+        )
+        take = ((amount_idx >> r) & 1) == 1
+        planes = jnp.where(take, rot, planes)
+        r += 1
+    return planes
+
+
 def sharded_gemm_ring_fn(
     mesh: Mesh,
     num_split: int,
@@ -262,20 +278,6 @@ def sharded_gemm_ring_fn(
     q = x_sz
     spec2d = P(axis_x, axis_y)
 
-    def _skew(planes, ring_axis, amount_idx):
-        """Rotate ``planes`` along ``ring_axis`` by a per-device amount
-        (the other mesh coordinate), in log2(q) masked ppermute rounds."""
-        r = 0
-        while (1 << r) < q:
-            sh = 1 << r
-            rot = jax.lax.ppermute(
-                planes, ring_axis, [((p + sh) % q, p) for p in range(q)]
-            )
-            take = ((amount_idx >> r) & 1) == 1
-            planes = jnp.where(take, rot, planes)
-            r += 1
-        return planes
-
     def _body(a: F64X, bm: F64X, c: Optional[F64X]) -> F64X:
         # a: local block [m/x, k/y]: A k-panel j; bm: [k/x, n/y]: B k-panel i
         da, pa = _local_split(a, axis_y, num_split, b, axis=1)
@@ -285,8 +287,8 @@ def sharded_gemm_ring_fn(
         j_idx = jax.lax.axis_index(axis_y)
         # skew: device (i, j) ends up holding A panel (i+j)%q and
         # B panel (i+j)%q
-        da = _skew(da, axis_y, i_idx)
-        db = _skew(db, axis_x, j_idx)
+        da = _skew(da, axis_y, i_idx, q)
+        db = _skew(db, axis_x, j_idx, q)
 
         shift_y = [((p + 1) % q, p) for p in range(q)]  # dst j <- src j+1
         shift_x = [((p + 1) % q, p) for p in range(q)]
@@ -386,6 +388,110 @@ def sharded_zgemm_fn(
     return fn
 
 
+def sharded_zgemm_ring_fn(
+    mesh: Mesh,
+    num_split: int,
+    k_global: int,
+    axis_x: str = "x",
+    axis_y: str = "y",
+    alpha: complex = 1.0 + 0j,
+    beta: complex = 0.0 + 0j,
+):
+    """Ring-streamed (Cannon) complex GEMM for SQUARE meshes.
+
+    The complex analogue of :func:`sharded_gemm_ring_fn`: all four re/im
+    plane sets are skewed once and rotate around the ring together; each
+    step accumulates the exact int32 group totals of all FOUR pass
+    combinations (re*re, im*im, im*re, re*im), folded once at the end
+    into the shared complex fold (core.gemm._zfold_passes).  Peak memory
+    is two k-panels per plane set instead of the full-k slab — the
+    huge-problem complex variant the round-2 ring lacked.
+
+    Same in/out contract as :func:`sharded_zgemm_fn` (all operands F64X
+    sharded P(x, y)); bitwise-identical to it and to the single-chip
+    engine.
+    """
+    from ..core.gemm import ZGEMM_PASSES, _zfold_passes
+    from ..ops.recombine import fold_group_totals, group_totals
+
+    b = bits_per_int8(k_global)
+    if b <= 0:
+        raise ValueError(f"global k={k_global} too large for int8 emulation")
+    alpha, beta = complex(alpha), complex(beta)
+    x_sz, y_sz = (mesh.shape[axis_x], mesh.shape[axis_y])
+    if x_sz != y_sz:
+        raise ValueError(
+            f"ring (Cannon) ZGEMM needs a square mesh, got {x_sz}x{y_sz}; "
+            "use sharded_zgemm_fn (all-gather) instead"
+        )
+    q = x_sz
+    spec2d = P(axis_x, axis_y)
+    shift = np.int32(acc_shift(num_split, b))
+
+    def _body(a_re, a_im, b_re, b_im, c_re, c_im):
+        da, pa = {}, {}
+        for idx, xx in ((0, a_re), (1, a_im)):
+            da[idx], pa[idx] = _local_split(xx, axis_y, num_split, b, axis=1)
+        db, pb = {}, {}
+        for idx, xx in ((0, b_re), (1, b_im)):
+            db[idx], pb[idx] = _local_split(xx, axis_x, num_split, b, axis=0)
+
+        i_idx = jax.lax.axis_index(axis_x)
+        j_idx = jax.lax.axis_index(axis_y)
+        for idx in (0, 1):
+            da[idx] = _skew(da[idx], axis_y, i_idx, q)
+            db[idx] = _skew(db[idx], axis_x, j_idx, q)
+
+        shift_y = [((p + 1) % q, p) for p in range(q)]
+        shift_x = [((p + 1) % q, p) for p in range(q)]
+        totals = {
+            pc: group_totals(da[pc[0]], db[pc[1]], num_split, k_global, b)
+            for pc in ZGEMM_PASSES
+        }
+        for _ in range(1, q):
+            for idx in (0, 1):
+                da[idx] = jax.lax.ppermute(da[idx], axis_y, shift_y)
+                db[idx] = jax.lax.ppermute(db[idx], axis_x, shift_x)
+            for pc in ZGEMM_PASSES:
+                step = group_totals(da[pc[0]], db[pc[1]], num_split, k_global, b)
+                totals[pc] = [t + s for t, s in zip(totals[pc], step)]
+
+        SEs = []
+        for ap, bp in ZGEMM_PASSES:
+            S = fold_group_totals(totals[(ap, bp)], num_split, k_global, b)
+            E = (pa[ap][:, None] + pb[bp][None, :] - shift).astype(jnp.int32)
+            SEs.append((S, E))
+        m_l, n_l = SEs[0][1].shape
+        return _zfold_passes(SEs, m_l, n_l, alpha, beta, c_re, c_im)
+
+    with_c = beta != 0
+    n_in = 12 if with_c else 8
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec2d,) * n_in,
+        out_specs=(spec2d,) * 4,
+        check_vma=False,
+    )
+    def _kernel(*planes):
+        xs = [F64X(planes[2 * i], planes[2 * i + 1]) for i in range(n_in // 2)]
+        if with_c:
+            out_re, out_im = _body(*xs)
+        else:
+            out_re, out_im = _body(*xs, None, None)
+        return out_re.hi, out_re.lo, out_im.hi, out_im.lo
+
+    def fn(*xs):
+        flat = []
+        for x in xs:
+            flat.extend((x.hi, x.lo))
+        rh, rl, ih, il = _kernel(*flat)
+        return F64X(rh, rl), F64X(ih, il)
+
+    return fn
+
+
 def sharded_gemm(
     a: np.ndarray,
     b: np.ndarray,
@@ -453,12 +559,11 @@ def sharded_gemm(
         return F64X(jax.device_put(fx.hi, spec), jax.device_put(fx.lo, spec))
 
     if np.iscomplexobj(a) or np.iscomplexobj(b):
-        if ring:
-            raise NotImplementedError("ring variant is real-only; use ring=False")
         a = np.asarray(a, dtype=np.complex128)
         b = np.asarray(b, dtype=np.complex128)
+        zmake = sharded_zgemm_ring_fn if ring else sharded_zgemm_fn
         fn = jax.jit(
-            sharded_zgemm_fn(
+            zmake(
                 mesh, num_split, k, axis_x, axis_y, complex(alpha), complex(beta)
             )
         )

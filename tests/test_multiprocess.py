@@ -1,0 +1,55 @@
+"""Multi-process distributed tests (VERDICT r2 item 2).
+
+Launches 2 REAL processes x 4 virtual CPU devices each (the CI-runnable
+stand-in for 2 hosts x 4 chips), connected via jax.distributed, running
+the 2D-sharded DGEMM/ZGEMM on a hybrid (DCN x ICI) mesh.  The worker
+(tests/mp_worker.py) asserts bitwise equality with the single-chip
+engine; this parent only orchestrates and surfaces worker output on
+failure.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mp_worker.py")
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_two_process_cpu_bitwise():
+    port = _free_port()
+    nproc = 2
+    env = dict(os.environ)
+    # the worker pins its own platform/device-count before importing jax
+    env.pop("JAX_PLATFORMS", None)
+    env.pop("XLA_FLAGS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, _WORKER, str(i), str(nproc), str(port)],
+            env=env,
+            stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT,
+            text=True,
+        )
+        for i in range(nproc)
+    ]
+    outs = []
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=840)
+            outs.append(out)
+    except subprocess.TimeoutExpired:
+        for p in procs:
+            p.kill()
+        pytest.fail("multi-process workers timed out:\n" + "\n".join(outs))
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"worker {i} failed (rc={p.returncode}):\n{out}"
+        assert f"MP-OK {i}" in out, f"worker {i} missing MP-OK:\n{out}"

@@ -280,6 +280,51 @@ class TestRingGemm:
             sharded_gemm_ring_fn(rect, 9, 128)
 
 
+class TestRingZgemm:
+    """Cannon-streamed COMPLEX variant (sharded_zgemm_ring_fn)."""
+
+    def test_bitwise_same_as_allgather_and_local(self, square_mesh):
+        import ozimmu_tpu as oz
+
+        a = generate_input("exp_rand-2", (32, 64), seed=18, complex_=True)
+        b = generate_input("exp_rand-2", (64, 32), seed=19, complex_=True)
+        c_ring = sharded_gemm(a, b, 9, square_mesh, ring=True)
+        c_ag = sharded_gemm(a, b, 9, square_mesh, ring=False)
+        np.testing.assert_array_equal(
+            c_ring.view(np.uint64), c_ag.view(np.uint64)
+        )
+        c_local = oz.gemm(a, b, mode="fp64_int8_9")
+        np.testing.assert_array_equal(
+            c_ring.view(np.uint64), c_local.view(np.uint64)
+        )
+
+    def test_complex_alpha_beta_bitwise_ring(self, square_mesh):
+        import ozimmu_tpu as oz
+
+        rng = np.random.default_rng(20)
+        m, k, n = 32, 64, 32
+        a = rng.normal(size=(m, k)) + 1j * rng.normal(size=(m, k))
+        b = rng.normal(size=(k, n)) + 1j * rng.normal(size=(k, n))
+        c0 = rng.normal(size=(m, n)) + 1j * rng.normal(size=(m, n))
+        al, be = 1.5 - 0.5j, -2.0 + 0.25j
+        c_ring = sharded_gemm(
+            a, b, 9, square_mesh, ring=True, alpha=al, beta=be, c=c0
+        )
+        c_local = oz.gemm(a, b, mode="fp64_int8_9", alpha=al, beta=be, c=c0)
+        np.testing.assert_array_equal(
+            c_ring.view(np.uint64), c_local.view(np.uint64)
+        )
+
+    def test_rejects_rectangular_mesh(self):
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        from ozimmu_tpu.parallel.gemm import sharded_zgemm_ring_fn
+
+        rect = make_mesh_2d(8)  # 2x4
+        with pytest.raises(ValueError, match="square"):
+            sharded_zgemm_ring_fn(rect, 9, 128)
+
+
 class TestKShardedGemm:
     """1D contraction-parallel variant (sharded_gemm_k_fn)."""
 
