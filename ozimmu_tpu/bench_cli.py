@@ -164,37 +164,153 @@ def run_matfile(path_a: str, path_b: str, modes, test_count: int) -> int:
     return 0
 
 
-def _probe_power_telemetry():
-    """Probe every known avenue for TPU power counters; None if absent.
+_RAW_DTYPES = {
+    "fp32": np.float32,
+    "fp64": np.float64,
+    # x86-64 long double: 80-bit extended in 16 bytes — the same layout
+    # the reference's fp128 matfiles hold (main_test.cu:273-302 loads
+    # long double)
+    "fp128": np.longdouble,
+}
 
-    The reference samples NVML (test/main_test.cu:473-498).  TPU
-    equivalents, each probed here so 'n/a' is a documented finding rather
-    than an assumption: (1) sysfs accel power files exposed by some TPU
-    VM kernels, (2) hwmon power/energy counters, (3) the libtpu SDK
-    metrics API (``tpu_metric_service``) when the runtime exports it.
-    On this platform the chip sits behind a remote axon tunnel, so all
-    local probes are expected to miss — but they are real probes.
-    Returns average watts as float, or None.
+
+def load_raw_matrix(path: str, m: int, n: int, dtype: str, order: str = "F") -> np.ndarray:
+    """Raw binary matrix loader (reference matfile replay parity,
+    main_test.cu:273-302: fp32/fp64/fp128 dense files).
+
+    Documented deviation: the reference's ``mtk::matfile`` self-describing
+    header comes from a submodule that is not checked out in the
+    reference snapshot, so this loader takes dtype/shape explicitly
+    (column-major by default, the BLAS convention the reference uses).
+    ``.npy`` files (run_matfile) remain the self-describing path.
     """
-    import glob
+    if dtype not in _RAW_DTYPES:
+        raise ValueError(f"dtype must be one of {sorted(_RAW_DTYPES)}, got {dtype!r}")
+    raw = np.fromfile(path, dtype=_RAW_DTYPES[dtype])
+    if raw.size != m * n:
+        raise ValueError(
+            f"{path}: expected {m}x{n} = {m*n} elements of {dtype}, found {raw.size}"
+        )
+    return np.asarray(raw.reshape((m, n), order=order), dtype=np.float64)
 
-    for pat in (
-        "/sys/class/accel/accel*/device/power_usage",  # TPU VM driver
-        "/sys/class/hwmon/hwmon*/power1_input",  # generic hwmon (uW)
-        "/sys/class/hwmon/hwmon*/energy1_input",
-    ):
-        for path in glob.glob(pat):
+
+def run_matfile_raw(
+    path_a: str, path_b: str, m: int, k: int, n: int, dtype: str, modes, test_count: int
+) -> int:
+    """Evaluate modes on raw-binary operand dumps (fp32/fp64/fp128)."""
+    import ozimmu_tpu as oz
+    from ozimmu_tpu.testing import effective_tflops, error_metrics
+
+    a = load_raw_matrix(path_a, m, k, dtype)
+    b = load_raw_matrix(path_b, k, n, dtype)
+    print("device,gemm,input,mode,opA,opB,m,n,k,residual,max_relative,tflops")
+    for mode in modes:
+        c = oz.gemm(a, b, mode=mode)
+        err = error_metrics(c, a, b)
+        tflops = effective_tflops(a, b, mode, test_count)
+        print(
+            f"{_device_name()},D,matfile-{dtype},{mode},N,N,"
+            f"{m},{n},{k},{err['relative_residual']:e},"
+            f"{err['max_relative_error']:e},{tflops:e}",
+            flush=True,
+        )
+    return 0
+
+
+class _PowerSampler:
+    """Load-window power measurement; ``average_watts`` is None if no
+    probe works.
+
+    The reference samples NVML *during* its run loops
+    (test/main_test.cu:473-498).  TPU equivalents probed here: (1) hwmon/
+    sysfs cumulative ENERGY counters (microjoules) — read once at start
+    and once at stop, average watts = delta / elapsed; (2) instantaneous
+    POWER counters (microwatts; TPU-VM ``accel`` driver or generic hwmon)
+    — sampled every 200 ms on a thread while the load runs and
+    time-averaged; (3) the libtpu metrics API, sampled the same way.  On
+    this platform the chip sits behind a remote axon tunnel, so all local
+    probes are expected to miss — but they are real probes, and each
+    yields a load-average (never a single idle-time sample).
+    """
+
+    _ENERGY_PATS = ("/sys/class/hwmon/hwmon*/energy1_input",)
+    _POWER_PATS = (
+        "/sys/class/accel/accel*/device/power_usage",
+        "/sys/class/hwmon/hwmon*/power1_input",
+    )
+
+    def __init__(self):
+        import glob
+
+        self._energy_path = next(
+            (p for pat in self._ENERGY_PATS for p in glob.glob(pat)), None
+        )
+        self._power_path = next(
+            (p for pat in self._POWER_PATS for p in glob.glob(pat)), None
+        )
+        self._samples = []
+        self._thread = None
+        self._stop = None
+        self._e0 = self._t0 = None
+
+    @staticmethod
+    def _read_uf(path):
+        with open(path) as f:
+            return float(f.read().strip())
+
+    def _read_power_w(self):
+        if self._power_path is not None:
             try:
-                with open(path) as f:
-                    v = float(f.read().strip())
-                return v / 1e6  # uW -> W convention for both counters
+                return self._read_uf(self._power_path) / 1e6  # uW -> W
             except (OSError, ValueError):
-                continue
-    try:  # libtpu metrics (present on local TPU VMs, not over tunnels)
-        from tpu_info import metrics  # type: ignore
+                return None
+        try:  # libtpu metrics (local TPU VMs only, not over tunnels)
+            from tpu_info import metrics  # type: ignore
 
-        return float(metrics.get_chip_power()[0])
-    except Exception:
+            return float(metrics.get_chip_power()[0])
+        except Exception:
+            return None
+
+    def start(self):
+        import threading
+        import time
+
+        self._t0 = time.perf_counter()
+        if self._energy_path is not None:
+            try:
+                self._e0 = self._read_uf(self._energy_path)
+            except (OSError, ValueError):
+                self._e0 = None
+        if self._read_power_w() is None:
+            return  # no instantaneous probe: skip the sampler thread
+        self._stop = threading.Event()
+
+        def loop():
+            while not self._stop.wait(0.2):
+                w = self._read_power_w()
+                if w is not None:
+                    self._samples.append(w)
+
+        self._thread = threading.Thread(target=loop, daemon=True)
+        self._thread.start()
+
+    def stop(self):
+        """Returns average watts over the start..stop window, or None."""
+        import time
+
+        elapsed = time.perf_counter() - self._t0
+        if self._thread is not None:
+            self._stop.set()
+            self._thread.join(timeout=2.0)
+        if self._energy_path is not None and self._e0 is not None and elapsed > 0:
+            try:
+                e1 = self._read_uf(self._energy_path)
+                if e1 >= self._e0:
+                    return (e1 - self._e0) / 1e6 / elapsed  # uJ -> J -> W
+            except (OSError, ValueError):
+                pass
+        if self._samples:
+            return sum(self._samples) / len(self._samples)
         return None
 
 
@@ -203,15 +319,18 @@ def run_power(gemm_kind: str, mode: str, size: int, min_seconds: float) -> int:
     main_test.cu:408-512: >=10 s NVML-sampled loops reporting TFLOPS, avg
     W and GFLOPS/W).  All reported fields are measured: ``iters`` counts
     engine iterations actually executed and ``avg_time`` is elapsed/iters
-    (testing.sustained_run).  Watts come from _probe_power_telemetry();
-    'n/a' means every probe came back empty on this platform."""
+    (testing.sustained_run).  Watts are sampled DURING the load window by
+    _PowerSampler; 'n/a' means every probe came back empty on this
+    platform."""
     from ozimmu_tpu.testing import generate_input, sustained_run
 
     complex_ = gemm_kind == "zgemm"
     a = generate_input("urand01", (size, size), seed=0, complex_=complex_)
     b = generate_input("urand01", (size, size), seed=1, complex_=complex_)
+    sampler = _PowerSampler()
+    sampler.start()
     tflops, n_iter, avg_time = sustained_run(a, b, mode, min_seconds=min_seconds)
-    watts = _probe_power_telemetry()
+    watts = sampler.stop()
     if watts is not None:
         w_s = f"{watts:.1f}"
         eff_s = f"{tflops * 1e3 / watts:.2f}"
@@ -242,6 +361,22 @@ def main(argv=None) -> int:
         q.add_argument("--test-count", type=int, default=1)
         ar = q.parse_args(argv)
         return run_matfile(ar.a_npy, ar.b_npy, ar.modes.split(","), ar.test_count)
+    if argv and argv[0] == "matfile_raw":
+        q = argparse.ArgumentParser()
+        q.add_argument("cmd")
+        q.add_argument("a_bin")
+        q.add_argument("b_bin")
+        q.add_argument("m", type=int)
+        q.add_argument("k", type=int)
+        q.add_argument("n", type=int)
+        q.add_argument("--dtype", default="fp64", choices=sorted(_RAW_DTYPES))
+        q.add_argument("modes", nargs="?", default="fp64_int8_9")
+        q.add_argument("--test-count", type=int, default=1)
+        ar = q.parse_args(argv)
+        return run_matfile_raw(
+            ar.a_bin, ar.b_bin, ar.m, ar.k, ar.n, ar.dtype,
+            ar.modes.split(","), ar.test_count,
+        )
     if argv and argv[0] == "power":
         q = argparse.ArgumentParser()
         q.add_argument("cmd")

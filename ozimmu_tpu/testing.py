@@ -86,14 +86,23 @@ def _sync(r):
     np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
-def _make_runner(a: np.ndarray, b: np.ndarray, mode):
+def _make_runner(a: np.ndarray, b: np.ndarray, mode, donate: bool = False):
     """Build the dependent-iteration timing chain for one GEMM.
 
-    Returns ``(run, args, flops)`` where ``run(*args, iters)`` executes
-    ``iters`` DEPENDENT engine iterations inside one jit — each iteration
-    perturbs one low mantissa bit of every operand plane from the previous
-    output (a [m,1]/[1,n] broadcast, so rectangular shapes work), forcing
-    real execution of the full pipeline every time.
+    Returns ``(run, args, flops, carry_idx)`` where ``run(*args, iters)``
+    executes ``iters`` DEPENDENT engine iterations inside one jit — each
+    iteration perturbs one low mantissa bit of every operand plane from
+    the previous output (a [m,1]/[1,n] broadcast, so rectangular shapes
+    work), forcing real execution of the full pipeline every time.
+
+    ``run`` returns the new values of ``args[i] for i in carry_idx`` (the
+    perturbed low planes), so back-to-back chains stay causally linked
+    when the caller feeds them into the next call.  With ``donate=True``
+    those carry argument buffers are DONATED to the computation — the
+    sustained loop then reuses device buffers instead of allocating and
+    copying fresh ones every chunk (VERDICT r2 item 5 dispatch-stall
+    mitigation).  Donating callers must pass each returned carry to the
+    next call and never touch the donated originals again.
     """
     from functools import partial
 
@@ -115,8 +124,13 @@ def _make_runner(a: np.ndarray, b: np.ndarray, mode):
         ns = mode.num_split
         ax = F64X.from_numpy(np.ascontiguousarray(a, np.float64))
         bx = F64X.from_numpy(np.ascontiguousarray(b, np.float64))
+        carry_idx = (1, 3)
 
-        @partial(jax.jit, static_argnums=(4,))
+        @partial(
+            jax.jit,
+            static_argnums=(4,),
+            donate_argnums=carry_idx if donate else (),
+        )
         def run(a_hi, a_lo, b_hi, b_lo, iters):
             def body(i, carry):
                 a_lo, b_lo = carry
@@ -136,8 +150,13 @@ def _make_runner(a: np.ndarray, b: np.ndarray, mode):
         ai = F64X.from_numpy(np.ascontiguousarray(a.imag))
         br = F64X.from_numpy(np.ascontiguousarray(b.real))
         bi = F64X.from_numpy(np.ascontiguousarray(b.imag))
+        carry_idx = (4, 5, 6, 7)
 
-        @partial(jax.jit, static_argnums=(8,))
+        @partial(
+            jax.jit,
+            static_argnums=(8,),
+            donate_argnums=carry_idx if donate else (),
+        )
         def run(ar_hi, ai_hi, br_hi, bi_hi, ar_lo, ai_lo, br_lo, bi_lo, iters):
             # hi planes are ARGUMENTS, not closure constants: closed-over
             # device arrays are baked into the serialized HLO as literals,
@@ -164,8 +183,13 @@ def _make_runner(a: np.ndarray, b: np.ndarray, mode):
             dt = jnp.complex64 if mode is ComputeMode.SGEMM else jnp.complex128
         aj = jnp.asarray(a, dtype=dt)
         bj = jnp.asarray(b, dtype=dt)
+        carry_idx = (1,)
 
-        @partial(jax.jit, static_argnums=(2,))
+        @partial(
+            jax.jit,
+            static_argnums=(2,),
+            donate_argnums=carry_idx if donate else (),
+        )
         def run(aj, bj, iters):
             def body(i, bj):
                 c = jnp.matmul(aj, bj, preferred_element_type=dt)
@@ -176,7 +200,7 @@ def _make_runner(a: np.ndarray, b: np.ndarray, mode):
 
         args = (aj, bj)
 
-    return run, args, flops
+    return run, args, flops, carry_idx
 
 
 def effective_tflops(
@@ -196,7 +220,7 @@ def effective_tflops(
     """
     import time
 
-    run, args, flops = _make_runner(a, b, mode)
+    run, args, flops, _ = _make_runner(a, b, mode)
 
     def t(iters):
         _sync(run(*args, iters))
@@ -211,45 +235,75 @@ def effective_tflops(
     return flops / per / 1e12
 
 
-def sustained_run(a: np.ndarray, b: np.ndarray, mode, min_seconds: float = 10.0):
+def sustained_run(
+    a: np.ndarray,
+    b: np.ndarray,
+    mode,
+    min_seconds: float = 10.0,
+    target_chunk_seconds: float = 2.0,
+):
     """Sustained-load measurement (reference power mode, main_test.cu:408-512).
 
     Runs dependent-iteration chains back-to-back until ``min_seconds`` of
     wall clock is spent and reports honest, *measured* numbers:
     ``(tflops, iters, avg_time_s)`` where ``iters`` counts engine
     iterations actually executed and ``avg_time_s = elapsed / iters``
-    (chain dispatch overheads included — this is the sustained number, by
-    design slightly below the peak :func:`effective_tflops`).
+    (chain dispatch overheads included — the sustained number).
+
+    Dispatch-stall mitigation (VERDICT r2 item 5): (1) ADAPTIVE chain
+    length — a calibration chunk measures per-iteration time and the
+    chain grows until one dispatch covers ~``target_chunk_seconds``, so
+    per-chain host/tunnel latency is amortized over many iterations; (2)
+    BUFFER DONATION — the perturbed operand planes returned by each chain
+    are donated back into the next, so chunks reuse device buffers
+    instead of re-allocating and copying.  Chains stay causally linked
+    across chunks (each consumes the previous chunk's carry).
     """
     import time
 
-    run, args, flops = _make_runner(a, b, mode)
+    run, args, flops, carry_idx = _make_runner(a, b, mode, donate=True)
+    args = list(args)
+
+    def step(iters):
+        out = run(*args, iters)
+        outs = out if isinstance(out, tuple) else (out,)
+        _sync(outs)
+        for i, v in zip(carry_idx, outs):
+            args[i] = v
+
     chunk = 8
-    _sync(run(*args, chunk))  # compile + warm up
-    iters = 0
-    chunk_times = []
+    step(chunk)  # compile + warm up (not measured)
     t0 = time.perf_counter()
+    c0 = t0
+    step(chunk)  # calibration chunk (measured)
+    dt = time.perf_counter() - c0
+    iters = chunk
+    rates = [dt / chunk]
+    # grow the chain so one dispatch covers ~target_chunk_seconds
+    per_iter = max(dt / chunk, 1e-9)
+    chunk = int(min(512, max(8, round(target_chunk_seconds / per_iter))))
     while True:
-        c0 = time.perf_counter()
-        _sync(run(*args, chunk))
-        chunk_times.append(time.perf_counter() - c0)
-        iters += chunk
         elapsed = time.perf_counter() - t0
         if elapsed >= min_seconds:
             break
+        c0 = time.perf_counter()
+        step(chunk)
+        rates.append((time.perf_counter() - c0) / chunk)
+        iters += chunk
+        elapsed = time.perf_counter() - t0
     avg = elapsed / iters
     # Remote-tunnel dispatch can stall for minutes mid-loop (observed);
     # the mean is still the honest sustained number, but a silent stall
     # would misrepresent the hardware — flag it loudly.
-    med = sorted(chunk_times)[len(chunk_times) // 2]
-    worst = max(chunk_times)
+    med = sorted(rates)[len(rates) // 2]
+    worst = max(rates)
     if med > 0 and worst > 5 * med:
         import sys
 
         print(
             f"[sustained_run] WARNING: dispatch stall detected — worst "
-            f"chunk {worst:.1f}s vs median {med:.3f}s over "
-            f"{len(chunk_times)} chunks; the mean includes the stall",
+            f"chunk rate {worst:.3f}s/iter vs median {med:.3f}s/iter over "
+            f"{len(rates)} chunks; the mean includes the stall",
             file=sys.stderr,
             flush=True,
         )

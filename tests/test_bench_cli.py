@@ -75,3 +75,35 @@ class TestBenchCli:
         # fields are rounded to 4 decimals / 4 significant digits)
         flops = 2 * 64**3
         np.testing.assert_allclose(tflops, flops / avg_time / 1e12, rtol=2e-3)
+
+    def test_matfile_raw_roundtrip(self, tmp_path):
+        # reference raw-matfile replay parity (main_test.cu:273-302):
+        # fp32 and fp64 column-major dumps load exactly and pass the gate
+        rng = np.random.default_rng(11)
+        a = rng.uniform(size=(24, 40))
+        b = rng.uniform(size=(40, 16))
+        for dtype, cast in (("fp64", np.float64), ("fp32", np.float32)):
+            pa, pb = tmp_path / f"a.{dtype}", tmp_path / f"b.{dtype}"
+            np.asarray(a, cast, order="F").T.ravel().tofile(pa)  # col-major
+            np.asarray(b, cast, order="F").T.ravel().tofile(pb)
+            got = bench_cli.load_raw_matrix(str(pa), 24, 40, dtype)
+            np.testing.assert_array_equal(got, np.asarray(a, cast, order="F"))
+            rc, out = self._capture(
+                bench_cli.main,
+                ["matfile_raw", str(pa), str(pb), "24", "40", "16",
+                 "--dtype", dtype, "fp64_int8_9"],
+            )
+            assert rc == 0
+            row = out.strip().splitlines()[1].split(",")
+            assert row[2] == f"matfile-{dtype}"
+            assert float(row[9]) < 1e-15
+
+    def test_matfile_raw_size_mismatch(self, tmp_path):
+        import pytest
+
+        p = tmp_path / "x.bin"
+        np.zeros(7, np.float64).tofile(p)
+        with pytest.raises(ValueError, match="expected"):
+            bench_cli.load_raw_matrix(str(p), 2, 4, "fp64")
+        with pytest.raises(ValueError, match="dtype"):
+            bench_cli.load_raw_matrix(str(p), 7, 1, "int8")
