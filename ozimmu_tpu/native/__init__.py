@@ -25,8 +25,15 @@ _build_failed = False
 
 
 def _so_path() -> str:
+    # The source hash is part of the filename so a stale cached build (e.g.
+    # under OZIMMU_NATIVE_CACHE with a fresher mtime than a changed
+    # oracle.cpp) can never be loaded against newer symbol expectations.
+    import hashlib
+
+    with open(_SRC, "rb") as f:
+        tag = hashlib.sha256(f.read()).hexdigest()[:12]
     cache = os.environ.get("OZIMMU_NATIVE_CACHE", _HERE)
-    return os.path.join(cache, "liboz_oracle.so")
+    return os.path.join(cache, f"liboz_oracle-{tag}.so")
 
 
 def _build() -> Optional[str]:
@@ -56,21 +63,27 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if so is None:
             _build_failed = True
             return None
-        lib = ctypes.CDLL(so)
-        i64, i32, f64p, i8p, i32p = (
-            ctypes.c_int64,
-            ctypes.c_int32,
-            ctypes.POINTER(ctypes.c_double),
-            ctypes.POINTER(ctypes.c_int8),
-            ctypes.POINTER(ctypes.c_int32),
-        )
-        lib.oz_error_metrics_d.argtypes = [i64, i64, i64, f64p, f64p, f64p, f64p]
-        lib.oz_error_metrics_z.argtypes = [i64, i64, i64, f64p, f64p, f64p, f64p]
-        lib.oz_ref_gemm_d.argtypes = [i64, i64, i64, f64p, f64p, f64p]
-        lib.oz_split_fp64.argtypes = [i64, i64, f64p, i32, i32, i8p, i32p]
-        pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_double))
-        lib.oz_error_metrics_d_multi.argtypes = [i64, i64, i64, f64p, f64p, pp, i64, f64p]
-        lib.oz_error_metrics_z_multi.argtypes = [i64, i64, i64, f64p, f64p, pp, i64, f64p]
+        try:
+            lib = ctypes.CDLL(so)
+            i64, i32, f64p, i8p, i32p = (
+                ctypes.c_int64,
+                ctypes.c_int32,
+                ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int8),
+                ctypes.POINTER(ctypes.c_int32),
+            )
+            lib.oz_error_metrics_d.argtypes = [i64, i64, i64, f64p, f64p, f64p, f64p]
+            lib.oz_error_metrics_z.argtypes = [i64, i64, i64, f64p, f64p, f64p, f64p]
+            lib.oz_ref_gemm_d.argtypes = [i64, i64, i64, f64p, f64p, f64p]
+            lib.oz_split_fp64.argtypes = [i64, i64, f64p, i32, i32, i8p, i32p]
+            pp = ctypes.POINTER(ctypes.POINTER(ctypes.c_double))
+            lib.oz_error_metrics_d_multi.argtypes = [i64, i64, i64, f64p, f64p, pp, i64, f64p]
+            lib.oz_error_metrics_z_multi.argtypes = [i64, i64, i64, f64p, f64p, pp, i64, f64p]
+        except (OSError, AttributeError):
+            # load or symbol lookup failed (e.g. corrupt cached .so):
+            # documented clean fallback is numpy, not an exception
+            _build_failed = True
+            return None
         _lib = lib
         return _lib
 
