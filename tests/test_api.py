@@ -305,3 +305,57 @@ class TestBatchedComplex:
         ref = np.einsum("bmk,bkn->bmn", a, b)
         rel = np.linalg.norm(c - ref) / np.linalg.norm(ref)
         assert rel < 1e-15
+
+
+class TestNonFiniteContract:
+    """NaN/Inf are outside the engine contract (reference split.cu has no
+    non-finite handling either); these tests pin down what ACTUALLY
+    happens so the behavior is documented, and verify the opt-in guard."""
+
+    def test_nonfinite_poisons_only_its_row(self):
+        import ozimmu_tpu as oz
+
+        b = np.array([[1.0, 0.5], [0.25, 4.0]])
+        for bad in (np.nan, np.inf, -np.inf):
+            a = np.array([[1.0, bad], [2.0, 3.0]])
+            out = oz.gemm(a, b, mode="fp64_int8_9")
+            # the clean row is computed exactly
+            np.testing.assert_array_equal(out[1], a[1] @ b)
+            # the poisoned row is garbage (huge-finite or inf), NOT a crash
+            assert np.all(np.abs(out[0]) > 1e300) or np.any(np.isinf(out[0]))
+
+    def test_nonfinite_in_b_poisons_only_its_column(self):
+        import ozimmu_tpu as oz
+
+        a = np.array([[1.0, 0.5], [0.25, 4.0]])
+        b = np.array([[1.0, np.nan], [2.0, 3.0]])
+        out = oz.gemm(a, b, mode="fp64_int8_9")
+        np.testing.assert_array_equal(out[:, 0], a @ b[:, 0])
+        assert np.all(np.abs(out[:, 1]) > 1e300) or np.any(np.isinf(out[:, 1]))
+
+    def test_check_finite_guard(self, monkeypatch):
+        import ozimmu_tpu as oz
+
+        monkeypatch.setenv("OZIMMU_CHECK_FINITE", "1")
+        a = np.array([[1.0, np.nan], [2.0, 3.0]])
+        b = np.eye(2)
+        with pytest.raises(ValueError, match="non-finite"):
+            oz.gemm(a, b, mode="fp64_int8_9")
+        with pytest.raises(ValueError, match="non-finite"):
+            oz.gemm(b, a * 1j, mode="fp64_int8_9")
+        # finite inputs unaffected by the guard
+        out = oz.gemm(b, b, mode="fp64_int8_9")
+        np.testing.assert_array_equal(out, np.eye(2))
+
+
+class TestReallocateWorkingMemoryBytes:
+    def test_bytes_overload_grow_only(self):
+        import ozimmu_tpu as oz
+
+        h = oz.create()
+        assert oz.reallocate_working_memory(h, 1 << 20) == 1 << 20
+        # grow-only: a smaller request keeps the reservation
+        # (reference handle.cu:68-72)
+        assert oz.reallocate_working_memory(h, 1 << 10) == 1 << 20
+        assert oz.reallocate_working_memory(h, 1 << 24) == 1 << 24
+        assert h.working_memory_bytes == 1 << 24

@@ -98,4 +98,49 @@ o2 = _gemm_core_nchunked(ax1, bx1, 9, 4)
 print(f"11. chunked core bit-identical: "
       f"{np.array_equal(o1.to_numpy(), o2.to_numpy())}", flush=True)
 
+# --- round-3 surface --------------------------------------------------------
+
+# 12. auto-chunked PUBLIC gemm (tiny HBM budget) bit-matches unchunked,
+#     full epilogue included — the productized 16384^3 path
+c5u = np.asarray(c5)
+os.environ["OZIMMU_HBM_BUDGET_MB"] = "1"
+c12 = oz.gemm(a2.T, b2, mode="fp64_int8_9", op_a="T", alpha=2.5, beta=1.0,
+              c=np.ones((1000, 777)))
+os.environ.pop("OZIMMU_HBM_BUDGET_MB")
+print(f"12. auto-chunked gemm (epilogue) bit-identical: "
+      f"{np.array_equal(np.asarray(c12).view(np.uint64), c5u.view(np.uint64))}",
+      flush=True)
+
+# 13. auto-chunked complex engine via public gemm
+os.environ["OZIMMU_HBM_BUDGET_MB"] = "1"
+z13 = oz.gemm(az, bz, mode="fp64_int8_10", alpha=al, beta=be, c=zc)
+os.environ.pop("OZIMMU_HBM_BUDGET_MB")
+print(f"13. auto-chunked zgemm bit-identical: "
+      f"{np.array_equal(np.asarray(z13).view(np.uint64), np.asarray(z8).view(np.uint64))}",
+      flush=True)
+
+# 14. round-to-nearest-even ties survive the device epilogue
+a14 = np.array([[1.0, 1.0]])
+t1 = np.asarray(oz.matmul(a14, np.array([[1.0], [2.0**-53]]), mode="fp64_int8_9"))
+t2 = np.asarray(oz.matmul(a14, np.array([[1.0], [3 * 2.0**-53]]), mode="fp64_int8_9"))
+ok14 = t1[0, 0] == 1.0 and t2[0, 0] == 1.0 + 2.0**-51
+print(f"14. RNE ties on device: {'OK' if ok14 else f'BAD {t1} {t2}'}", flush=True)
+
+# 15. unified complex AUTO: host API auto == the shared-counter pick
+from ozimmu_tpu.core.f64x import F64X as _F
+from ozimmu_tpu.ops.mantissa_loss import auto_mode_select_complex
+
+h15 = oz.create()
+h15.avg_mantissa_loss_threshold = 0.5
+exp15 = auto_mode_select_complex(
+    _F.from_numpy(np.ascontiguousarray(az.real)), _F.from_numpy(np.ascontiguousarray(az.imag)),
+    _F.from_numpy(np.ascontiguousarray(bz.real)), _F.from_numpy(np.ascontiguousarray(bz.imag)),
+    az.shape[1], 0.5,
+)
+z15a = oz.gemm(az, bz, mode="fp64_int8_auto", handle=h15)
+z15f = oz.gemm(az, bz, mode=exp15, handle=h15)
+print(f"15. complex AUTO ({exp15.value}) == fixed bitwise: "
+      f"{np.array_equal(np.asarray(z15a).view(np.uint64), np.asarray(z15f).view(np.uint64))}",
+      flush=True)
+
 print("done", flush=True)
