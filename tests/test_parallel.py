@@ -361,3 +361,35 @@ class TestKShardedGemm:
     def test_huge_k_accuracy(self):
         c, a, b = self._run(16, 4096, 16, 10, seed=41)
         assert error_metrics(c, a, b)["relative_residual"] < 1e-15
+
+
+class TestLaunchHelpers:
+    """Single-process paths of parallel.launch (the multi-process paths
+    are exercised across real processes in tests/test_multiprocess.py)."""
+
+    def test_hybrid_mesh_single_process_fallback(self):
+        from ozimmu_tpu.parallel.gemm import make_mesh_2d
+        from ozimmu_tpu.parallel.launch import make_mesh_2d_hybrid
+
+        m = make_mesh_2d_hybrid()
+        assert m.axis_names == ("x", "y")
+        assert m.devices.size == len(jax.devices())
+        assert m.devices.shape == make_mesh_2d().devices.shape
+
+    def test_dcn_axis_for(self):
+        from ozimmu_tpu.parallel.launch import dcn_axis_for
+
+        # x gathers B (bytes ~ n), y gathers A (bytes ~ m): DCN goes to
+        # the axis moving FEWER bytes
+        assert dcn_axis_for(4096, 1024, 2048, 9) == "x"  # n < m
+        assert dcn_axis_for(1024, 4096, 2048, 9) == "y"  # m < n
+
+    def test_replicated_roundtrip(self, mesh):
+        from jax.sharding import PartitionSpec as P
+
+        from ozimmu_tpu.parallel.launch import allgather_f64x, replicated_f64x
+
+        x = generate_input("exp_rand-3", (16, 24), seed=7)
+        fx = replicated_f64x(x, mesh, P("x", "y"))
+        back = allgather_f64x(fx).reshape(16, 24)
+        np.testing.assert_array_equal(back.view(np.uint64), x.view(np.uint64))
