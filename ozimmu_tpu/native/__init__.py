@@ -145,6 +145,11 @@ def error_metrics_multi_native(cs, a: np.ndarray, b: np.ndarray):
 
 
 def ref_gemm_native(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    if np.iscomplexobj(a) or np.iscomplexobj(b):
+        # only the real-product symbol exists; silently viewing complex
+        # as f64 would drop the imaginary parts — let callers fall back
+        # to testing.reference_gemm (clongdouble)
+        return None
     lib = get_lib()
     if lib is None:
         return None

@@ -5,8 +5,13 @@ Computes the long-double reference product ONCE (native OpenMP oracle)
 and reuses it for every mode, so the sweep cost is dominated by the TPU
 measurements rather than 16 oracle recomputations.
 
-Usage:  python tools/pareto_sweep.py [SIZE] [NS_LIST]
+Usage:  python tools/pareto_sweep.py [SIZE] [NS_LIST] [flags]
         python tools/pareto_sweep.py 4096 3,4,...,18
+        python tools/pareto_sweep.py 4096 8,9,10 --complex   # ZGEMM sweep
+        python tools/pareto_sweep.py 8192 3,...,18 --no-oracle  # timing only
+                # (residual column = nan; the 1-core long-double oracle is
+                # infeasible at compute-bound sizes — pair with a smaller
+                # oracle-backed run for the accuracy axis)
 """
 
 import os
@@ -20,6 +25,10 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon plugin hooks get_backend and only honors the config
+    # setting — env alone would still dial the (possibly down) tunnel
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/ozimmu_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -30,33 +39,45 @@ from ozimmu_tpu.testing import effective_tflops, error_metrics, generate_input, 
 
 
 def main() -> int:
-    size = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
+    args = [x for x in sys.argv[1:] if not x.startswith("--")]
+    flags = {x for x in sys.argv[1:] if x.startswith("--")}
+    complex_ = "--complex" in flags
+    no_oracle = "--no-oracle" in flags
+    size = int(args[0]) if args else 4096
     ns_list = (
-        [int(x) for x in sys.argv[2].split(",")]
-        if len(sys.argv) > 2
+        [int(x) for x in args[1].split(",")]
+        if len(args) > 1
         else list(range(3, 19))
     )
-    a = generate_input("urand01", (size, size), seed=0)
-    b = generate_input("urand01", (size, size), seed=1)
+    a = generate_input("urand01", (size, size), seed=0, complex_=complex_)
+    b = generate_input("urand01", (size, size), seed=1, complex_=complex_)
 
-    print(f"# reference product ({size}^3, long double)...", file=sys.stderr)
-    c_ref = native.ref_gemm_native(a, b)
-    if c_ref is None:
-        c_ref = reference_gemm(a, b)
+    if no_oracle:
+        c_ref = None
+    else:
+        print(f"# reference product ({size}^3, long double)...", file=sys.stderr)
+        c_ref = native.ref_gemm_native(a, b)
+        if c_ref is None:
+            c_ref = reference_gemm(a, b)
 
     dev = str(jax.devices()[0]).replace(",", ";")
+    kind = "Z" if complex_ else "D"
     print("device,gemm,input,mode,opA,opB,m,n,k,residual,max_relative,tflops", flush=True)
     modes = [f"fp64_int8_{ns}" for ns in ns_list] + ["dgemm", "sgemm"]
     for mode in modes:
-        c = oz.gemm(a, b, mode=mode)
-        err = error_metrics(np.asarray(c), a, b, c_ref=c_ref)
+        if c_ref is not None:
+            c = oz.gemm(a, b, mode=mode)
+            err = error_metrics(np.asarray(c), a, b, c_ref=c_ref)
+        else:
+            err = {"relative_residual": float("nan"),
+                   "max_relative_error": float("nan")}
         try:
             tflops = effective_tflops(a, b, mode, test_count=4)
         except Exception as e:  # keep the accuracy row even if timing fails
             print(f"# timing failed for {mode}: {e}", file=sys.stderr)
             tflops = float("nan")
         print(
-            f"{dev},D,urand01,{mode},N,N,{size},{size},{size},"
+            f"{dev},{kind},urand01,{mode},N,N,{size},{size},{size},"
             f"{err['relative_residual']:e},{err['max_relative_error']:e},"
             f"{tflops:e}",
             flush=True,
