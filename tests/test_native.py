@@ -41,6 +41,14 @@ class TestNativeOracle:
         ref = native.ref_gemm_native(a, b)
         np.testing.assert_allclose(ref, a @ b, rtol=1e-15)
 
+    def test_ref_gemm_complex_falls_back(self, lib):
+        # complex operands must return None (only the real symbol
+        # exists; viewing complex as f64 would drop imaginary parts)
+        a = generate_input("urand01", (8, 8), seed=5, complex_=True)
+        b = generate_input("urand01", (8, 8), seed=6, complex_=True)
+        assert native.ref_gemm_native(a, b) is None
+        assert native.ref_gemm_native(a.real, b) is None
+
     def test_split_cross_validation(self, lib):
         """Native and numpy splits must agree bit-for-bit."""
         x = generate_input("exp_rand-4", (32, 48), seed=4)
