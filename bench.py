@@ -25,6 +25,10 @@ os.environ.setdefault("JAX_PLATFORMS", "")
 
 import jax
 
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the axon plugin hooks get_backend and only honors the config
+    # setting — the env var alone would still dial the remote tunnel
+    jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 jax.config.update("jax_compilation_cache_dir", os.path.expanduser("~/.cache/ozimmu_jax"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -56,15 +60,15 @@ from ozimmu_tpu.schedule import auto_n_chunks
 NCHUNKS = auto_n_chunks(M, M, M, NS) if _nc_env == "auto" else int(_nc_env)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def chain_engine(a_hi, a_lo, b_hi, b_lo, ns, iters):
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def chain_engine(a_hi, a_lo, b_hi, b_lo, ns, iters, n_chunks):
     from ozimmu_tpu.core.gemm import gemm_f64x
 
     def body(i, carry):
         a_lo, b_lo = carry
         # the production dispatch path (auto-chunk resolved above so the
         # native-baseline chunking below can mirror it)
-        out = gemm_f64x(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, n_chunks=NCHUNKS)
+        out = gemm_f64x(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, n_chunks=n_chunks)
         # dependency: flip one low mantissa bit of BOTH operands per
         # element so neither operand's split can be hoisted out of the
         # loop — each iteration pays the full gemm cost
@@ -153,11 +157,26 @@ def main():
         bx = F64X.from_numpy(b)
 
     # --- engine timing ----------------------------------------------------
-    t1 = timed(chain_engine, ax.hi, ax.lo, bx.hi, bx.lo, NS, ITERS)
-    t2 = timed(chain_engine, ax.hi, ax.lo, bx.hi, bx.lo, NS, 2 * ITERS)
+    # HBM-OOM insurance for unattended runs: the working-set estimate has
+    # slack for XLA temporaries, but if the device still OOMs at the
+    # auto-selected panel count, double it (bitwise-identical) and retry.
+    global NCHUNKS
+    nc = NCHUNKS
+    while True:
+        try:
+            t1 = timed(chain_engine, ax.hi, ax.lo, bx.hi, bx.lo, NS, ITERS, nc)
+            t2 = timed(chain_engine, ax.hi, ax.lo, bx.hi, bx.lo, NS, 2 * ITERS, nc)
+            break
+        except Exception as e:
+            if nc >= min(M, 64):
+                raise
+            log(f"engine run failed at n_chunks={nc} ({type(e).__name__}); "
+                f"retrying with {2 * nc}")
+            nc *= 2
+    NCHUNKS = nc
     per_iter = max((t2 - t1) / ITERS, 1e-9)
     tflops = 2 * M**3 / per_iter / 1e12
-    log(f"engine: {per_iter*1e3:.3f} ms/GEMM -> {tflops:.2f} effective FP64 TFLOPS @ {M}^3 ns={NS}")
+    log(f"engine: {per_iter*1e3:.3f} ms/GEMM -> {tflops:.2f} effective FP64 TFLOPS @ {M}^3 ns={NS} n_chunks={nc}")
 
     # --- native f64 baseline ---------------------------------------------
     if device_gen:
