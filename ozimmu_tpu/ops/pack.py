@@ -14,13 +14,15 @@ dtypes are true IEEE.
 
 Rounding contract: round-to-nearest-even (IEEE default).  The packed
 result is the CORRECTLY ROUNDED f64 of the exact triple-f32 accumulator
-value ``(t0+t1+t2) * 2^E``: the significand is assembled with floor
-shifts, an 8-bit guard fraction and a sticky bit, and rounded ONCE to the
-target precision (normal or subnormal) — ties to even.  The only residual
-error vs infinitely-precise arithmetic is the ~2^-71 accumulation error
-of the triple itself, which is strictly inside the reference's per-step
-f64 rounding envelope (gemm.cu:77-102 rounds every one of ns(ns+1)/2
-partial-product accumulations to f64).
+value ``(t0+t1+t2) * 2^E``: the tails fold into the guard-space
+significand through composed ROUND-TO-ODD shifts (each >= 2 bits above
+the next rounding position — the Boldo-Melquiond double-rounding-safe
+pattern), then ONE round-to-nearest-even lands on the target precision
+(normal or subnormal).  The only residual error vs infinitely-precise
+arithmetic is the ~2^-71 accumulation error of the triple itself, which
+is strictly inside the reference's per-step f64 rounding envelope
+(gemm.cu:77-102 rounds every one of ns(ns+1)/2 partial-product
+accumulations to f64).
 """
 
 from __future__ import annotations
@@ -78,27 +80,36 @@ def unpack_f64x(c: F64X) -> Tuple[Triple, jax.Array]:
     return (t0 * sgn, t1 * sgn, t2 * sgn), E.astype(jnp.int32)
 
 
-def _rne_shift(q, F, sticky, s):
-    """``round((q + F/64 + sticky_eps) / 2^s)`` with ties to even.
+def _rto_shift(v, s):
+    """Arithmetic shift right by ``s`` with ROUND TO ODD: the result's
+    low bit is forced to 1 whenever any shifted-out bit was nonzero.
 
-    ``q`` int64 >= 0; ``F`` int64 in [0, 128) is a 6-bit-resolution
-    fraction below q's LSB (it may reach 1 whole q-unit or more, which
-    the comparisons below account for); ``sticky`` flags nonzero value
-    below F's resolution.  ``s`` int64 in [1, 62] per element.
+    Round-to-odd is the double-rounding-safe intermediate (Boldo &
+    Melquiond): a subsequent round-to-nearest at a position >= 2 bits
+    coarser yields exactly the correctly rounded value of the original.
+    Works on signed two's complement: floor-shift brackets the value
+    from below and ``| 1`` picks the odd representative of the open
+    bracket in either sign.
+    """
+    c = jax.lax.shift_right_arithmetic(v, s)
+    inexact = jax.lax.shift_left(c, s) != v
+    return jnp.where(inexact, c | jnp.int64(1), c)
+
+
+def _rne_shift(q, s):
+    """``round(q / 2^s)`` with ties to even; ``q`` int64 >= 0 carries
+    round-to-odd sticky information in its low bit, ``s`` in [2, 62].
+
+    Exactness: if the value q represents was inexact below bit 0, bit 0
+    is odd, so ``rem`` can never equal the (even) half point — strict
+    comparisons then decide correctly; a true tie has exact q and breaks
+    on the target's parity.
     """
     one = jnp.int64(1)
     rem = q & (jax.lax.shift_left(one, s) - one)
     half = jax.lax.shift_left(one, s - 1)
     base = jax.lax.shift_right_logical(q, s)
-    odd = (base & one) == one
-    has_f = (F > 0) | sticky
-    # true remainder = rem + F/64 (+eps); F/64 < 2 so only rem in
-    # {half-1, half, >half} can reach or pass the halfway point
-    up = (
-        (rem > half)
-        | ((rem == half) & (has_f | odd))
-        | ((rem == half - 1) & ((F > 64) | ((F == 64) & (sticky | odd))))
-    )
+    up = (rem > half) | ((rem == half) & ((base & one) == one))
     return base + jnp.where(up, one, jnp.int64(0))
 
 
@@ -118,53 +129,60 @@ def pack_f64x(t: Triple, E: jax.Array) -> F64X:
     s2, ef2, m2 = _f32_fields(t[2])
     is_zero = ef0 == 0  # head is zero/denormal-f32 -> result 0
 
-    # Guard-space significand: q = floor(|v| * 2^(54 - e0)) (2 guard bits
-    # below the 53-bit target), v = t0+t1+t2, e0 = floor(log2|t0|).  The
-    # head contributes m0 << 31 exactly; tails are signed floor-shifted by
-    # their exponent gap, with the shifted-out bits captured exactly as a
-    # 6-bit fraction F (in 1/64 q-units) plus a sticky flag below that —
-    # enough to round correctly: renorm guarantees the tails sit >= ~24
-    # binades down, so at most two tail fractions (each < 1) accumulate.
+    # Guard-space significand: q ~ |v| * 2^(55 - e0) (3 guard bits below
+    # the 53-bit target), v = t0+t1+t2, e0 = floor(log2|t0|).  The head
+    # contributes m0 << 32 exactly.  The two tails fold in EXACTLY via
+    # two composed round-to-odd steps: the smaller tail is rto-shifted
+    # into the larger tail's frame, their sum is rto-shifted into q's
+    # frame, and the final round-to-nearest-even happens >= 2 bits above
+    # q's bit 0 — by the round-to-odd composition theorem the result is
+    # the correctly rounded value of the exact triple, for ANY gaps
+    # (renorm guarantees the >= 2-bit spacing each step needs: tails sit
+    # >= 23 binades apart from their predecessor, except at the very
+    # bottom of the f32 subnormal range where the folds are exact anyway).
     neg = s0 < 0
-    q = m0.astype(jnp.int64) << 31
-    F = jnp.zeros(q.shape, dtype=jnp.int64)
-    sticky = jnp.zeros(q.shape, dtype=jnp.bool_)
-    for sgn_i, ef_i, m_i in ((s1, ef1, m1), (s2, ef2, m2)):
-        gap = jnp.clip(ef0 - jnp.maximum(ef_i, 1), 0, 63).astype(jnp.int64)
-        sc = m_i.astype(jnp.int64) << 31
-        sc = jnp.where((sgn_i * s0) < 0, -sc, sc)
-        contrib = jax.lax.shift_right_arithmetic(sc, gap)  # floor (exact dir.)
-        lost = sc - jax.lax.shift_left(contrib, gap)  # in [0, 2^gap)
-        q = q + contrib
-        gl = jnp.maximum(jnp.int64(6) - gap, 0)
-        gr = jnp.maximum(gap - jnp.int64(6), 0)
-        frac6 = jnp.where(
-            gap <= 6,
-            jax.lax.shift_left(lost, gl),
-            jax.lax.shift_right_logical(lost, gr),
-        )
-        F = F + frac6
-        sticky = sticky | (jax.lax.shift_left(frac6, gr) != jnp.where(gap <= 6, frac6, lost))
+
+    def rel(sgn_i, m_i):  # tail significand, signed relative to the head
+        sc = m_i.astype(jnp.int64) << 32
+        return jnp.where((sgn_i * s0) < 0, -sc, sc)
+
+    # order the tails by magnitude frame (renorm emits |t1| >= |t2|, but
+    # crafted inputs may not honor it and the swap is cheap)
+    e1 = jnp.maximum(ef1, 1)
+    e2 = jnp.maximum(ef2, 1)
+    swap = e2 > e1
+    ef_a = jnp.where(swap, e2, e1)
+    ef_b = jnp.where(swap, e1, e2)
+    sc_a = jnp.where(swap, rel(s2, m2), rel(s1, m1))
+    sc_b = jnp.where(swap, rel(s1, m1), rel(s2, m2))
+
+    d = jnp.clip(ef_a - ef_b, 0, 62).astype(jnp.int64)  # frames b -> a
+    gap = jnp.clip(ef0 - ef_a, 0, 62).astype(jnp.int64)  # frame a -> q
+    s12 = sc_a + _rto_shift(sc_b, d)  # |.| < 2^58, exact sum
+    q = (m0.astype(jnp.int64) << 32) + _rto_shift(s12, gap)
 
     # If cancellation dropped the UNROUNDED value below 2^(e0) (i.e. q
-    # below 2^54), the target scale is one binade down (one fewer guard
+    # below 2^55), the target scale is one binade down (one fewer guard
     # bit).  Decided on the floor, NOT the rounded value: a value just
     # under the binade boundary must round within the lower binade's
-    # finer ulp (e.g. 2^52 - 0.5 is exactly representable there).
-    need_down = q < (jnp.int64(1) << 54)
+    # finer ulp (e.g. 2^52 - 0.5 is exactly representable there).  The
+    # rto low bit cannot flip this test: it only fires on inexact q,
+    # whose floor is then strictly inside one side of the boundary.
+    need_down = q < (jnp.int64(1) << 55)
     e0 = (ef0 - 127) - jnp.where(need_down, 1, 0)
 
     Ef = e0 + E + np.int32(1023)  # biased f64 exponent (pre-carry)
     is_inf = Ef >= 2047  # outright overflow (pre-carry; carry handled below)
     Ef_c = jnp.clip(Ef, -1, 2046)  # keep the int64 shift in range
 
-    # Total right-shift from q to the target significand: 2 guard bits
-    # (1 when cancellation moved the scale down) plus the subnormal
-    # underflow shift — applied in ONE rounding, directly from q.
+    # Total right-shift from q to the target significand: 3 guard bits
+    # (2 when cancellation moved the scale down) plus the subnormal
+    # underflow shift — applied in ONE rounding, directly from q.  The
+    # minimum shift of 2 is what licenses the round-to-odd folds above.
     r = jnp.clip(1 - Ef, 0, 62).astype(jnp.int64)
-    s_eff = jnp.where(need_down, jnp.int64(1), jnp.int64(2))
-    st = jnp.clip(s_eff + r, 1, 62)
-    q_final = _rne_shift(q, F, sticky, st)
+    s_eff = jnp.where(need_down, jnp.int64(2), jnp.int64(3))
+    st = jnp.clip(s_eff + r, 2, 62)
+    q_final = _rne_shift(q, st)
     is_sub = Ef <= 0
 
     # Assemble by addition so mantissa carries ripple into the exponent:

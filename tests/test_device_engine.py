@@ -470,3 +470,62 @@ class TestChunkedStreaming:
         np.testing.assert_array_equal(
             np.asarray(c1).view(np.uint64), np.asarray(c4).view(np.uint64)
         )
+
+
+class TestPackRNEFuzzRational:
+    """Randomized pack_f64x audit vs an exact-rational (Fraction) oracle.
+
+    Found a real 1-ulp misround in the round-3 guard-fraction scheme
+    (two tails' sub-resolution parts conspiring across a half boundary);
+    the composed round-to-odd folds that replaced it are exact for any
+    gaps, which this fuzz asserts on adversarial tail windows including
+    deep (beyond-71-bit) tails, exact ties, and subnormal outputs.
+    """
+
+    def test_fuzz_exact_rne(self):
+        from fractions import Fraction
+
+        import jax.numpy as jnp
+
+        from ozimmu_tpu.ops import tf32x3
+
+        rng = np.random.default_rng(20260817)
+        N = 1500
+        t0 = rng.uniform(1.0, 2.0, N).astype(np.float32)
+
+        def tail(lo, hi):
+            m = rng.uniform(1.0, 2.0, N).astype(np.float32)
+            e = rng.integers(lo, hi, N)
+            s = rng.choice([-1.0, 1.0], N).astype(np.float32)
+            return (m * (2.0 ** e).astype(np.float32) * s).astype(np.float32)
+
+        t1 = tail(-60, -23)
+        t2 = tail(-140, -24)
+        t2[::2] = 0.0  # force exact .5-ulp ties through half the cases
+        E = rng.integers(-1140, 1030, N).astype(np.int32)
+
+        tt = tf32x3.renorm(
+            (jnp.asarray(t0), jnp.asarray(t1), jnp.asarray(t2))
+        )
+        # the contract is the correctly rounded value of the RENORMALIZED
+        # triple (renorm is lossy for overlapping inputs by design)
+        r0, r1, r2 = (np.asarray(x) for x in tt)
+        got = np.asarray(pack_f64x(tt, jnp.asarray(E)).to_numpy())
+
+        for i in range(N):
+            v = (
+                Fraction(float(r0[i]))
+                + Fraction(float(r1[i]))
+                + Fraction(float(r2[i]))
+            ) * Fraction(2) ** int(E[i])
+            try:
+                want = float(v)  # CPython: correctly rounded (RNE)
+            except OverflowError:
+                want = float("inf") if v > 0 else float("-inf")
+            if np.isinf(got[i]) and np.isinf(want):
+                assert (got[i] > 0) == (want > 0), i
+                continue
+            assert got[i] == want and (
+                got[i] != 0.0 or np.signbit(got[i]) == np.signbit(want)
+            ), (i, float(r0[i]), float(r1[i]), float(r2[i]), int(E[i]),
+                got[i], want)
