@@ -346,8 +346,14 @@ def run_power(gemm_kind: str, mode: str, size: int, min_seconds: float) -> int:
 
 
 def main(argv=None) -> int:
+    import os
+
     import jax
 
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # the axon remote-TPU plugin hooks get_backend and only honors
+        # the config setting — the env var alone still dials the tunnel
+        jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
 
     if argv is None:
