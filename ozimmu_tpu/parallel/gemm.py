@@ -585,6 +585,107 @@ def sharded_gemm(
     return out.to_numpy().reshape(m, n)
 
 
+def summa_device_bytes(
+    m: int, n: int, k: int, num_split: int, xs: int, ys: int,
+    complex_: bool = False,
+) -> int:
+    """Per-device peak bytes of the all-gather (SUMMA) variant.
+
+    Dominated by the GATHERED slabs each device holds: A's digit planes
+    over the full k (ns * m/x * k int8) and B's (ns * k * n/y), plus the
+    local operand bit planes and the output-block accumulator."""
+    f = 2 if complex_ else 1
+    mx, ny = -(-m // xs), -(-n // ys)
+    return f * (
+        num_split * (mx * k + k * ny)      # gathered int8 digit planes
+        + 8 * (mx * (k // ys) + (k // xs) * ny)  # local operand bits
+        + (8 + 16 + 4) * mx * ny           # C bits + triple + int32
+    )
+
+
+def ring_device_bytes(
+    m: int, n: int, k: int, num_split: int, q: int, complex_: bool = False
+) -> int:
+    """Per-device peak bytes of the Cannon ring variant on a q x q mesh:
+    TWO resident k-panels per operand instead of the full-k slab."""
+    f = 2 if complex_ else 1
+    mq, nq, kq = -(-m // q), -(-n // q), -(-k // q)
+    return f * (
+        2 * num_split * (mq * kq + kq * nq)  # two in-flight panel pairs
+        + 8 * (mq * kq + kq * nq)            # local operand bits
+        + (8 + 16 + 4) * mq * nq             # C bits + accumulators
+    )
+
+
+def select_variant(
+    m: int,
+    n: int,
+    k: int,
+    num_split: int,
+    mesh: Mesh,
+    axis_x: str = "x",
+    axis_y: str = "y",
+    complex_: bool = False,
+    hbm_bytes: Optional[int] = None,
+) -> str:
+    """Topology/shape -> distributed-variant choice: "summa" | "ring" | "k".
+
+    The decision procedure documented in parallel/launch.py, as code:
+
+    * tall contraction (k >= 8 * max(m, n), real) -> "k": the 1D
+      k-sharded psum_scatter variant moves only int32 group totals;
+    * operand slabs exceed the HBM budget AND the mesh is square ->
+      "ring": Cannon streaming keeps 2 panels resident (q-fold less);
+    * otherwise -> "summa": fewest collective steps, XLA overlaps the
+      two independent gathers.
+    """
+    if hbm_bytes is None:
+        from ..schedule import hbm_budget_bytes
+
+        hbm_bytes = hbm_budget_bytes()
+    xs, ys = mesh.shape[axis_x], mesh.shape[axis_y]
+    if not complex_ and k >= 8 * max(m, n):
+        return "k"
+    if (
+        xs == ys
+        and xs > 1
+        and summa_device_bytes(m, n, k, num_split, xs, ys, complex_) > hbm_bytes
+    ):
+        return "ring"
+    return "summa"
+
+
+def sharded_gemm_auto(
+    a: np.ndarray,
+    b: np.ndarray,
+    num_split: int,
+    mesh: Mesh,
+    axis_x: str = "x",
+    axis_y: str = "y",
+    alpha=1.0,
+    beta=0.0,
+    c: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """:func:`sharded_gemm` with the variant chosen by
+    :func:`select_variant` (all variants are bitwise-identical, so the
+    choice is purely a memory/traffic decision)."""
+    m, k = a.shape
+    n = b.shape[1]
+    complex_ = bool(np.iscomplexobj(a) or np.iscomplexobj(b))
+    v = select_variant(m, n, k, num_split, mesh, axis_x, axis_y, complex_)
+    if v == "k":
+        from jax.sharding import Mesh as _Mesh
+
+        kmesh = _Mesh(mesh.devices.reshape(-1), ("k",))
+        return sharded_gemm_k(
+            a, b, num_split, kmesh, alpha=float(alpha), beta=float(beta), c=c
+        )
+    return sharded_gemm(
+        a, b, num_split, mesh, axis_x, axis_y, ring=(v == "ring"),
+        alpha=alpha, beta=beta, c=c,
+    )
+
+
 def sharded_gemm_k(
     a: np.ndarray,
     b: np.ndarray,

@@ -393,3 +393,52 @@ class TestLaunchHelpers:
         fx = replicated_f64x(x, mesh, P("x", "y"))
         back = allgather_f64x(fx).reshape(16, 24)
         np.testing.assert_array_equal(back.view(np.uint64), x.view(np.uint64))
+
+
+class TestVariantSelection:
+    """select_variant / sharded_gemm_auto: topology->variant policy."""
+
+    def test_policy(self, mesh):
+        from ozimmu_tpu.parallel.gemm import select_variant
+
+        # tall-k, real -> 1D k-sharded
+        assert select_variant(64, 64, 65536, 9, mesh) == "k"
+        # tall-k complex has no k variant -> summa
+        assert select_variant(64, 64, 65536, 9, mesh, complex_=True) == "summa"
+        # comfortable fit -> summa
+        assert select_variant(256, 256, 256, 9, mesh, hbm_bytes=1 << 30) == "summa"
+        # over budget on a square mesh -> ring
+        import jax
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) >= 4:
+            sq = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
+            assert (
+                select_variant(4096, 4096, 4096, 9, sq, hbm_bytes=1 << 20)
+                == "ring"
+            )
+            # rectangular meshes cannot ring -> summa even over budget
+        assert (
+            select_variant(4096, 4096, 4096, 9, mesh, hbm_bytes=1 << 20)
+            in ("summa", "ring")
+        )
+
+    def test_auto_dispatch_bitwise(self, mesh):
+        import ozimmu_tpu as oz
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_auto
+
+        a = generate_input("urand01", (48, 640), seed=60)
+        b = generate_input("urand01", (640, 32), seed=61)
+        got = sharded_gemm_auto(a, b, 9, mesh)
+        want = oz.gemm(a, b, mode="fp64_int8_9")
+        np.testing.assert_array_equal(
+            got.view(np.uint64), want.view(np.uint64)
+        )
+        # tall-k branch end-to-end
+        ak = generate_input("urand01", (16, 4096), seed=62)
+        bk = generate_input("urand01", (4096, 16), seed=63)
+        got_k = sharded_gemm_auto(ak, bk, 10, mesh)
+        want_k = oz.gemm(ak, bk, mode="fp64_int8_10")
+        np.testing.assert_array_equal(
+            got_k.view(np.uint64), want_k.view(np.uint64)
+        )
