@@ -328,8 +328,12 @@ def run_power(gemm_kind: str, mode: str, size: int, min_seconds: float) -> int:
     a = generate_input("urand01", (size, size), seed=0, complex_=complex_)
     b = generate_input("urand01", (size, size), seed=1, complex_=complex_)
     sampler = _PowerSampler()
-    sampler.start()
-    tflops, n_iter, avg_time = sustained_run(a, b, mode, min_seconds=min_seconds)
+    # sampler.start fires at measured-window open — AFTER compiles and
+    # warmup — so the energy/power average covers only the load window
+    # (the reference samples NVML only during its run loops)
+    tflops, n_iter, avg_time = sustained_run(
+        a, b, mode, min_seconds=min_seconds, on_measure_start=sampler.start
+    )
     watts = sampler.stop()
     if watts is not None:
         w_s = f"{watts:.1f}"

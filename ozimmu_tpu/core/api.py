@@ -375,10 +375,20 @@ def _gemm_complex_np(handle, a, b, mode_r, op_a, op_b, alpha, beta, c):
     b = _apply_op_np(np.asarray(b, dtype=np.complex128), op_b)
     m, k = a.shape
     _, n = b.shape
-    axr = F64X.from_numpy(np.ascontiguousarray(a.real))
-    axi = F64X.from_numpy(np.ascontiguousarray(a.imag))
-    bxr = F64X.from_numpy(np.ascontiguousarray(b.real))
-    bxi = F64X.from_numpy(np.ascontiguousarray(b.imag))
+    axr = axi = bxr = bxi = None
+
+    def planes():
+        # built lazily: only the AUTO and int8 branches need the F64X
+        # bit planes — the dgemm/sgemm escapes must not pay 4 full-
+        # matrix conversions they never use
+        nonlocal axr, axi, bxr, bxi
+        if axr is None:
+            axr = F64X.from_numpy(np.ascontiguousarray(a.real))
+            axi = F64X.from_numpy(np.ascontiguousarray(a.imag))
+            bxr = F64X.from_numpy(np.ascontiguousarray(b.real))
+            bxi = F64X.from_numpy(np.ascontiguousarray(b.imag))
+        return axr, axi, bxr, bxi
+
     if mode_r is ComputeMode.FP64_INT8_AUTO:
         # ONE shared loss counter over all four re/im planes (reference
         # complex estimator split.cu:69-152 + selection 473-493) — the
@@ -386,7 +396,7 @@ def _gemm_complex_np(handle, a, b, mode_r, op_a, op_b, alpha, beta, c):
         from ..ops.mantissa_loss import auto_mode_select_complex
 
         mode_r = auto_mode_select_complex(
-            axr, axi, bxr, bxi, k, handle.avg_mantissa_loss_threshold
+            *planes(), k, handle.avg_mantissa_loss_threshold
         )
         log(f"AUTO selected mode = {mode_r.value} (complex)")
 
@@ -396,6 +406,7 @@ def _gemm_complex_np(handle, a, b, mode_r, op_a, op_b, alpha, beta, c):
     with culip_timer(name):
         if mode_r.is_int8:
             _check_k_supported(k)
+            axr, axi, bxr, bxi = planes()
             cre = F64X.from_numpy(np.ascontiguousarray(c.real)) if c is not None else None
             cim = F64X.from_numpy(np.ascontiguousarray(c.imag)) if c is not None else None
             if handle.profiler.enabled:
@@ -418,10 +429,7 @@ def _gemm_complex_np(handle, a, b, mode_r, op_a, op_b, alpha, beta, c):
             # device-side demotion (reference cublas_helper.cu:123-125):
             # f32 re/im planes, 4 real f32 HIGHEST matmuls, exact widen
             re, im = _csgemm_core(
-                F64X.from_numpy(np.ascontiguousarray(a.real)),
-                F64X.from_numpy(np.ascontiguousarray(a.imag)),
-                F64X.from_numpy(np.ascontiguousarray(b.real)),
-                F64X.from_numpy(np.ascontiguousarray(b.imag)),
+                *planes(),
                 complex(alpha),
                 complex(beta),
                 F64X.from_numpy(np.ascontiguousarray(c.real)) if c is not None else None,

@@ -106,6 +106,8 @@ def _gemm_core_nchunked(
     """
     m, k = a.shape
     n = b.shape[1]
+    if n == 0:
+        return _gemm_core(a, b, num_split, alpha, beta, c)
     w = -(-n // n_chunks)
     bb = bits_per_int8(k)
     shift = np.int32(acc_shift(num_split, bb))
@@ -279,6 +281,10 @@ def _zgemm_core_nchunked(
     locally (the fold is elementwise, so chunking columns is exact)."""
     m, k = a_re.shape
     n = b_re.shape[1]
+    if n == 0:
+        return _zgemm_core(
+            a_re, a_im, b_re, b_im, num_split, alpha, beta, c_re, c_im
+        )
     w = -(-n // n_chunks)
     bb = bits_per_int8(k)
     shift = np.int32(acc_shift(num_split, bb))

@@ -38,8 +38,6 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..core.f64x import F64X
-from ..ops import tf32x3
-from ..ops.pack import aligned_add, pack_f64x, scalar_triple, unpack_f64x
 from ..ops.recombine import acc_shift, recombine_auto
 from ..ops.split import row_exponent, split_with_row_exp
 from ..schedule import bits_per_int8
@@ -62,24 +60,15 @@ def _local_split(x: F64X, mesh_axis: Optional[str], ns: int, b: int, axis: int):
 
 
 def _epilogue_local(S, E, alpha: float, beta: float, c: Optional[F64X]) -> F64X:
-    """``alpha*(acc) + beta*c`` on the LOCAL C block — the exact single-chip
-    epilogue (core.gemm._gemm_core semantics; reference axby gemm.cu:124-158).
+    """``alpha*(acc) + beta*c`` on the LOCAL C block — THE single-chip
+    epilogue (core.gemm._epilogue_SE; reference axby gemm.cu:124-158).
     It is elementwise, so applying it per shard is distribution-invariant
-    and the result stays bitwise-identical to the single-chip engine."""
-    if alpha != 1.0:
-        at, ae = scalar_triple(alpha)
-        S = tf32x3.mul(S, at)
-        E = E + np.int32(ae)
-    if beta != 0.0:
-        if c is None:
-            raise ValueError("beta != 0 requires c")
-        ct, cE = unpack_f64x(c)
-        if beta != 1.0:
-            bt, be = scalar_triple(beta)
-            ct = tf32x3.mul(ct, bt)
-            cE = cE + np.int32(be)
-        S, E = aligned_add(S, E, ct, cE)
-    return pack_f64x(S, E)
+    and the result stays bitwise-identical to the single-chip engine —
+    one shared implementation, so a rounding-contract change can never
+    silently diverge between the local and distributed paths."""
+    from ..core.gemm import _epilogue_SE
+
+    return _epilogue_SE(S, E, alpha, beta, c)
 
 
 def _wrap_kernel(mesh, body, spec_a, spec_b, spec_c, with_c: bool):
@@ -644,7 +633,14 @@ def select_variant(
 
         hbm_bytes = hbm_budget_bytes()
     xs, ys = mesh.shape[axis_x], mesh.shape[axis_y]
-    if not complex_ and k >= 8 * max(m, n):
+    P_sz = xs * ys
+    if (
+        not complex_
+        and k >= 8 * max(m, n)
+        # the k variant keeps the FULL m x n output block and its
+        # accumulators on every device — only eligible when that fits
+        and (8 + 16 + 4) * m * n + 8 * (m + n) * (-(-k // P_sz)) <= hbm_bytes
+    ):
         return "k"
     if (
         xs == ys

@@ -81,7 +81,10 @@ def initialize(
     jax.distributed.initialize(**kwargs)
 
 
-def dcn_axis_for(m: int, n: int, k: int, num_split: int) -> str:
+def dcn_axis_for(
+    m: int, n: int, k: int, num_split: int,
+    axis_x: str = "x", axis_y: str = "y",
+) -> str:
     """Which 2D-mesh axis should absorb the DCN (process) cut.
 
     The SUMMA variant all-gathers A's planes along y (ns*(m/x)*k int8
@@ -91,8 +94,10 @@ def dcn_axis_for(m: int, n: int, k: int, num_split: int) -> str:
     smaller, else on y.
     """
     # per-device gather bytes are proportional to m (y-gather) vs n
-    # (x-gather) once the mesh is square-ish; ns and k cancel
-    return "x" if n <= m else "y"
+    # (x-gather) once the mesh is square-ish; ns and k cancel.  Returns
+    # the CALLER'S axis names so custom-named meshes can't silently get
+    # the DCN cut on the wrong axis.
+    return axis_x if n <= m else axis_y
 
 
 def make_mesh_2d_hybrid(

@@ -241,6 +241,7 @@ def sustained_run(
     mode,
     min_seconds: float = 10.0,
     target_chunk_seconds: float = 2.0,
+    on_measure_start=None,
 ):
     """Sustained-load measurement (reference power mode, main_test.cu:408-512).
 
@@ -251,13 +252,20 @@ def sustained_run(
     (chain dispatch overheads included — the sustained number).
 
     Dispatch-stall mitigation (VERDICT r2 item 5): (1) ADAPTIVE chain
-    length — a calibration chunk measures per-iteration time and the
-    chain grows until one dispatch covers ~``target_chunk_seconds``, so
-    per-chain host/tunnel latency is amortized over many iterations; (2)
-    BUFFER DONATION — the perturbed operand planes returned by each chain
-    are donated back into the next, so chunks reuse device buffers
-    instead of re-allocating and copying.  Chains stay causally linked
-    across chunks (each consumes the previous chunk's carry).
+    length — an unmeasured calibration chunk sizes the chain so one
+    dispatch covers ~``target_chunk_seconds``, amortizing per-chain
+    host/tunnel latency; (2) BUFFER DONATION — the perturbed operand
+    planes returned by each chain are donated back into the next, so
+    chunks reuse device buffers instead of re-allocating.  Chains stay
+    causally linked across chunks (each consumes the previous carry).
+
+    BOTH chain lengths (calibration and grown) are compiled and warmed
+    BEFORE the measured window opens — a recompile inside the window
+    would otherwise dominate the 'sustained' number on slow-compile
+    targets.  ``on_measure_start`` (if given) is called at window open,
+    after all compiles — power samplers hook here so the sampling window
+    covers only load (reference main_test.cu:473-498 samples only
+    during its run loops).
     """
     import time
 
@@ -271,26 +279,28 @@ def sustained_run(
         for i, v in zip(carry_idx, outs):
             args[i] = v
 
-    chunk = 8
-    step(chunk)  # compile + warm up (not measured)
-    t0 = time.perf_counter()
-    c0 = t0
-    step(chunk)  # calibration chunk (measured)
-    dt = time.perf_counter() - c0
-    iters = chunk
-    rates = [dt / chunk]
-    # grow the chain so one dispatch covers ~target_chunk_seconds
-    per_iter = max(dt / chunk, 1e-9)
+    # calibration (compile for chunk=8 + timed warm dispatch, unmeasured)
+    step(8)
+    c0 = time.perf_counter()
+    step(8)
+    per_iter = max((time.perf_counter() - c0) / 8, 1e-9)
     chunk = int(min(512, max(8, round(target_chunk_seconds / per_iter))))
+    if chunk != 8:
+        step(chunk)  # compile the grown chain OUTSIDE the window
+
+    if on_measure_start is not None:
+        on_measure_start()
+    t0 = time.perf_counter()
+    iters = 0
+    rates = []
     while True:
-        elapsed = time.perf_counter() - t0
-        if elapsed >= min_seconds:
-            break
         c0 = time.perf_counter()
         step(chunk)
         rates.append((time.perf_counter() - c0) / chunk)
         iters += chunk
         elapsed = time.perf_counter() - t0
+        if elapsed >= min_seconds:
+            break
     avg = elapsed / iters
     # Remote-tunnel dispatch can stall for minutes mid-loop (observed);
     # the mean is still the honest sustained number, but a silent stall
