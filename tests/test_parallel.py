@@ -403,6 +403,11 @@ class TestVariantSelection:
 
         # tall-k, real -> 1D k-sharded
         assert select_variant(64, 64, 65536, 9, mesh) == "k"
+        # tall-k whose resident m*n output block busts the budget -> not k
+        assert (
+            select_variant(4096, 4096, 1 << 20, 9, mesh, hbm_bytes=1 << 20)
+            != "k"
+        )
         # tall-k complex has no k variant -> summa
         assert select_variant(64, 64, 65536, 9, mesh, complex_=True) == "summa"
         # comfortable fit -> summa
