@@ -34,6 +34,38 @@ from ..types import MAX_NUM_SPLIT, MIN_NUM_SPLIT, ComputeMode
 _NS_CANDIDATES = np.arange(MIN_NUM_SPLIT, MAX_NUM_SPLIT + 1, dtype=np.int32)
 
 
+def loss_totals_with_group_exp(
+    x: F64X, e_group: jax.Array, b: int, axis: int
+) -> jax.Array:
+    """Loss totals for ns = 3..18 of ``x`` against an externally-supplied
+    scale-group max exponent field ``e_group`` (shape = ``x`` minus
+    ``axis``).
+
+    This is the traceable core shared by the single-chip estimator (local
+    group max) and the distributed estimator (``lax.pmax``-combined global
+    group max, parallel/gemm.sharded_loss_totals_fn) — the same split in
+    the split kernel itself (ops.split.split_with_row_exp).  Returns the
+    PARTIAL totals over the elements of ``x`` only; the caller sums
+    partials across shards (exact int64, order-independent).
+    """
+    e = exponent_field(x)  # [rows, k] or [k, cols]
+    mant_nonzero = (
+        (x.hi & np.uint32(0x000FFFFF)) | x.lo
+    ) != 0
+    value_nonzero = (e > 0) | mant_nonzero
+    row_ok = e_group > 0
+    bcast = (slice(None), None) if axis == 1 else (None, slice(None))
+
+    required = (e_group[bcast] + 1 - e) + 53  # int32
+    valid = value_nonzero & row_ok[bcast]
+    required = jnp.where(valid, required, 0)
+
+    space = (_NS_CANDIDATES * np.int32(b))[:, None, None]  # [16,1,1]
+    loss = jnp.maximum(required[None, :, :] - space, 0)
+    loss = jnp.where(valid[None, :, :], loss, 0)
+    return jnp.sum(loss.astype(jnp.int64), axis=(1, 2))
+
+
 @partial(jax.jit, static_argnums=(1, 2), inline=True)
 def mantissa_loss_totals(x: F64X, b: int, axis: int = 1) -> jax.Array:
     """Loss totals for ns = 3..18 over scale groups of ``x``.
@@ -44,23 +76,20 @@ def mantissa_loss_totals(x: F64X, b: int, axis: int = 1) -> jax.Array:
     zero and groups whose max exponent field is zero are skipped
     (reference split.cu:322-324).
     """
-    e = exponent_field(x)  # [rows, k] or [k, cols]
-    mant_nonzero = (
-        (x.hi & np.uint32(0x000FFFFF)) | x.lo
-    ) != 0
-    value_nonzero = (e > 0) | mant_nonzero
-    e_row = jnp.max(e, axis=axis)
-    row_ok = e_row > 0
-    bcast = (slice(None), None) if axis == 1 else (None, slice(None))
+    e_group = jnp.max(exponent_field(x), axis=axis)
+    return loss_totals_with_group_exp(x, e_group, b, axis)
 
-    required = (e_row[bcast] + 1 - e) + 53  # int32
-    valid = value_nonzero & row_ok[bcast]
-    required = jnp.where(valid, required, 0)
 
-    space = (_NS_CANDIDATES * np.int32(b))[:, None, None]  # [16,1,1]
-    loss = jnp.maximum(required[None, :, :] - space, 0)
-    loss = jnp.where(valid[None, :, :], loss, 0)
-    return jnp.sum(loss.astype(jnp.int64), axis=(1, 2))
+def select_mode_from_totals(totals, denom: float, threshold: float) -> ComputeMode:
+    """The reference selection loop (split.cu:473-493): smallest ns whose
+    AVERAGE loss (``totals[ns] / denom``) is within threshold, else the
+    native DGEMM fallback.  Shared by every AUTO surface — host API,
+    batched, interceptor, and the distributed estimator."""
+    totals = np.asarray(totals)
+    for idx, ns in enumerate(_NS_CANDIDATES):
+        if totals[idx] / denom <= threshold:
+            return ComputeMode.from_num_split(int(ns))
+    return ComputeMode.DGEMM
 
 
 def complex_loss_totals(
@@ -108,16 +137,12 @@ def auto_mode_select_complex(
     ``2 * (m*k + k*n)`` — identical semantics on every surface (host API,
     batched, interceptor eager and traced), per VERDICT r2 item 3.
     """
-    totals = np.asarray(
-        jax.device_get(complex_loss_totals(a_re, a_im, b_re, b_im, k, b_is_cols))
+    totals = jax.device_get(
+        complex_loss_totals(a_re, a_im, b_re, b_im, k, b_is_cols)
     )
     m = a_re.shape[0]
     n = b_re.shape[1] if b_is_cols else b_re.shape[0]
-    denom = 2.0 * (m * k + k * n)
-    for idx, ns in enumerate(_NS_CANDIDATES):
-        if totals[idx] / denom <= threshold:
-            return ComputeMode.from_num_split(int(ns))
-    return ComputeMode.DGEMM
+    return select_mode_from_totals(totals, 2.0 * (m * k + k * n), threshold)
 
 
 def auto_mode_select(
@@ -136,11 +161,7 @@ def auto_mode_select(
     bb = bits_per_int8(k)
     la = mantissa_loss_totals(a, bb, axis=1)
     lb = mantissa_loss_totals(b_mat, bb, axis=0 if b_is_cols else 1)
-    totals = np.asarray(jax.device_get(la + lb))
+    totals = jax.device_get(la + lb)
     m = a.shape[0]
     n = b_mat.shape[1] if b_is_cols else b_mat.shape[0]
-    denom = float(m * k + k * n)
-    for idx, ns in enumerate(_NS_CANDIDATES):
-        if totals[idx] / denom <= threshold:
-            return ComputeMode.from_num_split(int(ns))
-    return ComputeMode.DGEMM
+    return select_mode_from_totals(totals, float(m * k + k * n), threshold)

@@ -481,6 +481,216 @@ def sharded_zgemm_ring_fn(
     return fn
 
 
+def _local_loss_totals(x: F64X, mesh_axis: Optional[str], b: int, axis: int):
+    """Partial mantissa-loss totals of a local block against the GLOBAL
+    scale-group max exponent along the contraction axis — the estimator
+    analogue of :func:`_local_split`."""
+    from ..core.f64x import exponent_field
+    from ..ops.mantissa_loss import loss_totals_with_group_exp
+
+    e_group = jnp.max(exponent_field(x), axis=axis)
+    if mesh_axis is not None:
+        e_group = jax.lax.pmax(e_group, mesh_axis)
+    return loss_totals_with_group_exp(x, e_group, b, axis)
+
+
+def sharded_loss_totals_fn(
+    mesh: Mesh,
+    k_global: int,
+    axis_x: str = "x",
+    axis_y: str = "y",
+):
+    """Jittable DISTRIBUTED mantissa-loss estimator (reference
+    split.cu:300-518, scaled out): per-device partial loss totals for all
+    16 candidate split counts against pmax-combined global row/col
+    exponents, ``psum``-reduced over the mesh.  Exact int64 sums, so the
+    totals are bitwise-identical to the single-chip estimator on the same
+    global operands.  Traffic: one int32 exponent-vector pmax per operand
+    plus a 16-lane int64 psum — negligible next to the GEMM itself.
+
+    Returns ``fn(a, b) -> int64[16]`` (replicated) for F64X operands
+    sharded P(x, y) like :func:`sharded_gemm_fn`'s inputs.
+    """
+    b = bits_per_int8(k_global)
+    if b <= 0:
+        raise ValueError(f"global k={k_global} too large for int8 emulation")
+    spec2d = P(axis_x, axis_y)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec2d,) * 4,
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _kernel(a_hi, a_lo, b_hi, b_lo):
+        la = _local_loss_totals(F64X(a_hi, a_lo), axis_y, b, axis=1)
+        lb = _local_loss_totals(F64X(b_hi, b_lo), axis_x, b, axis=0)
+        return jax.lax.psum(la + lb, (axis_x, axis_y))
+
+    def fn(a: F64X, bm: F64X) -> jax.Array:
+        return _kernel(a.hi, a.lo, bm.hi, bm.lo)
+
+    return fn
+
+
+def sharded_zloss_totals_fn(
+    mesh: Mesh,
+    k_global: int,
+    axis_x: str = "x",
+    axis_y: str = "y",
+):
+    """Distributed complex estimator: ONE shared loss counter over all
+    four re/im planes (reference split.cu:69-152 feeding 300-518 — the
+    same single-counter semantics as ops.mantissa_loss.complex_loss_totals,
+    VERDICT r2 item 3, now on the distributed surface too).
+
+    Returns ``fn(a_re, a_im, b_re, b_im) -> int64[16]`` for F64X plane
+    pairs sharded P(x, y) like :func:`sharded_zgemm_fn`'s inputs.
+    """
+    b = bits_per_int8(k_global)
+    if b <= 0:
+        raise ValueError(f"global k={k_global} too large for int8 emulation")
+    spec2d = P(axis_x, axis_y)
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec2d,) * 8,
+        out_specs=P(),
+        check_vma=False,
+    )
+    def _kernel(arh, arl, aih, ail, brh, brl, bih, bil):
+        tot = (
+            _local_loss_totals(F64X(arh, arl), axis_y, b, axis=1)
+            + _local_loss_totals(F64X(aih, ail), axis_y, b, axis=1)
+            + _local_loss_totals(F64X(brh, brl), axis_x, b, axis=0)
+            + _local_loss_totals(F64X(bih, bil), axis_x, b, axis=0)
+        )
+        return jax.lax.psum(tot, (axis_x, axis_y))
+
+    def fn(a_re: F64X, a_im: F64X, b_re: F64X, b_im: F64X) -> jax.Array:
+        return _kernel(
+            a_re.hi, a_re.lo, a_im.hi, a_im.lo,
+            b_re.hi, b_re.lo, b_im.hi, b_im.lo,
+        )
+
+    return fn
+
+
+def sharded_dgemm_native_fn(
+    mesh: Mesh,
+    axis_x: str = "x",
+    axis_y: str = "y",
+    alpha: float = 1.0,
+    beta: float = 0.0,
+):
+    """Distributed NATIVE-f64 GEMM — the DGEMM fallback target of the
+    distributed AUTO path (single-chip analogue: core/api.py DGEMM branch;
+    reference gemm.cu:592-599 cublasGemmEx fallback).
+
+    Plain f64 SUMMA: all_gather A along y and B along x, one local f64
+    dot per device (on TPU, XLA's double-double emulation — same
+    semantics as the single-chip fallback), elementwise epilogue.  f64
+    words DO cross the ICI here (8x the int8-plane bytes) — acceptable
+    for the fallback, whose selection means the int8 path lost accuracy
+    anyway.  Same in/out shardings as :func:`sharded_gemm_fn`, operating
+    on plain f64 arrays.
+    """
+    alpha, beta = float(alpha), float(beta)
+    spec2d = P(axis_x, axis_y)
+    with_c = beta != 0.0
+    n_in = 3 if with_c else 2
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=(spec2d,) * n_in,
+        out_specs=spec2d,
+        check_vma=False,
+    )
+    def _kernel(a, bm, *rest):
+        a_full = jax.lax.all_gather(a, axis_y, axis=1, tiled=True)  # [m/x, k]
+        b_full = jax.lax.all_gather(bm, axis_x, axis=0, tiled=True)  # [k, n/y]
+        s = jnp.dot(a_full, b_full, preferred_element_type=jnp.float64)
+        out = alpha * s if alpha != 1.0 else s
+        if with_c:
+            out = out + beta * rest[0]
+        return out
+
+    return _kernel
+
+
+def sharded_auto_mode_select(
+    a: np.ndarray,
+    b: np.ndarray,
+    mesh: Mesh,
+    threshold: Optional[float] = None,
+    axis_x: str = "x",
+    axis_y: str = "y",
+):
+    """Distributed AUTO mode selection (reference split.cu:473-493 over
+    mesh-sharded operands): shard the operands exactly as the engine
+    will, run the distributed estimator, apply the shared selection loop.
+
+    Bitwise-identical totals to the single-chip estimator (exact int64
+    partial sums; padding contributes zero loss because zero elements are
+    skipped), so on shapes the mesh divides evenly the selection is
+    IDENTICAL to ``ozimmu_tpu.auto_mode_select``.  On padded shapes the
+    chunk-width ``b`` follows the PADDED k (what the distributed engine
+    actually uses), a documented deviation.  The average divides by the
+    TRUE element count (real planes for complex — the shared-counter
+    semantics).  Returns a ComputeMode (int8 mode or DGEMM fallback).
+    """
+    import math
+
+    from ..core.handle import default_handle
+    from ..ops.mantissa_loss import select_mode_from_totals
+
+    if threshold is None:
+        threshold = default_handle().avg_mantissa_loss_threshold
+    m, k = a.shape
+    k2, n = b.shape
+    if k != k2:
+        raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
+    xs, ys = mesh.shape[axis_x], mesh.shape[axis_y]
+
+    def up(v, q):
+        return -(-v // q) * q
+
+    m_p, n_p = up(m, xs), up(n, ys)
+    k_p = up(k, xs * ys // math.gcd(xs, ys))
+
+    def pad(x, rows, cols):
+        if x.shape == (rows, cols):
+            return x
+        out = np.zeros((rows, cols), dtype=x.dtype)
+        out[: x.shape[0], : x.shape[1]] = x
+        return out
+
+    spec = NamedSharding(mesh, P(axis_x, axis_y))
+
+    def put(x) -> F64X:
+        fx = F64X.from_numpy(np.ascontiguousarray(x, np.float64))
+        return F64X(jax.device_put(fx.hi, spec), jax.device_put(fx.lo, spec))
+
+    if np.iscomplexobj(a) or np.iscomplexobj(b):
+        a = pad(np.asarray(a, dtype=np.complex128), m_p, k_p)
+        b = pad(np.asarray(b, dtype=np.complex128), k_p, n_p)
+        fn = jax.jit(sharded_zloss_totals_fn(mesh, k_p, axis_x, axis_y))
+        totals = jax.device_get(
+            fn(put(a.real), put(a.imag), put(b.real), put(b.imag))
+        )
+        denom = 2.0 * (m * k + k * n)
+    else:
+        a = pad(np.asarray(a, dtype=np.float64), m_p, k_p)
+        b = pad(np.asarray(b, dtype=np.float64), k_p, n_p)
+        fn = jax.jit(sharded_loss_totals_fn(mesh, k_p, axis_x, axis_y))
+        totals = jax.device_get(fn(put(a), put(b)))
+        denom = float(m * k + k * n)
+    return select_mode_from_totals(totals, denom, threshold)
+
+
 def sharded_gemm(
     a: np.ndarray,
     b: np.ndarray,
@@ -651,23 +861,123 @@ def select_variant(
     return "summa"
 
 
+def _sharded_dgemm_native(
+    a: np.ndarray,
+    b: np.ndarray,
+    mesh: Mesh,
+    axis_x: str,
+    axis_y: str,
+    alpha,
+    beta,
+    c: Optional[np.ndarray],
+) -> np.ndarray:
+    """Host wrapper for the distributed native-f64 fallback: pad, shard,
+    run :func:`sharded_dgemm_native_fn`, gather, slice.  Complex operands
+    run the four real plane products distributed and fold re/im with the
+    complex alpha/beta on the host (single-chip analogue:
+    core/api.py complex-DGEMM branch — plain native arithmetic)."""
+    import math
+
+    m, k = a.shape
+    n = b.shape[1]
+    xs, ys = mesh.shape[axis_x], mesh.shape[axis_y]
+
+    def up(v, q):
+        return -(-v // q) * q
+
+    m_p, n_p = up(m, xs), up(n, ys)
+    k_p = up(k, xs * ys // math.gcd(xs, ys))
+
+    def pad(x, rows, cols):
+        if x.shape == (rows, cols):
+            return np.asarray(x)
+        out = np.zeros((rows, cols), dtype=x.dtype)
+        out[: x.shape[0], : x.shape[1]] = x
+        return out
+
+    spec = NamedSharding(mesh, P(axis_x, axis_y))
+
+    def put(x):
+        return jax.device_put(
+            jnp.asarray(np.ascontiguousarray(x, np.float64)), spec
+        )
+
+    if np.iscomplexobj(a) or np.iscomplexobj(b):
+        a = pad(np.asarray(a, np.complex128), m_p, k_p)
+        b = pad(np.asarray(b, np.complex128), k_p, n_p)
+        fn = jax.jit(sharded_dgemm_native_fn(mesh, axis_x, axis_y, 1.0, 0.0))
+        ar, ai = put(a.real), put(a.imag)
+        br, bi = put(b.real), put(b.imag)
+        re = np.asarray(jax.device_get(fn(ar, br))) - np.asarray(
+            jax.device_get(fn(ai, bi))
+        )
+        im = np.asarray(jax.device_get(fn(ar, bi))) + np.asarray(
+            jax.device_get(fn(ai, br))
+        )
+        out = complex(alpha) * (re + 1j * im)[:m, :n]
+        if beta != 0:
+            out = out + complex(beta) * np.asarray(c, np.complex128)
+        return out
+
+    a = pad(np.asarray(a, np.float64), m_p, k_p)
+    b = pad(np.asarray(b, np.float64), k_p, n_p)
+    fn = jax.jit(
+        sharded_dgemm_native_fn(mesh, axis_x, axis_y, float(alpha), float(beta))
+    )
+    if beta != 0:
+        out = fn(put(a), put(b), put(pad(np.asarray(c, np.float64), m_p, n_p)))
+    else:
+        out = fn(put(a), put(b))
+    return np.asarray(jax.device_get(out))[:m, :n]
+
+
 def sharded_gemm_auto(
     a: np.ndarray,
     b: np.ndarray,
-    num_split: int,
-    mesh: Mesh,
+    num_split="auto",
+    mesh: Optional[Mesh] = None,
     axis_x: str = "x",
     axis_y: str = "y",
     alpha=1.0,
     beta=0.0,
     c: Optional[np.ndarray] = None,
+    threshold: Optional[float] = None,
 ) -> np.ndarray:
-    """:func:`sharded_gemm` with the variant chosen by
-    :func:`select_variant` (all variants are bitwise-identical, so the
-    choice is purely a memory/traffic decision)."""
+    """:func:`sharded_gemm` with BOTH automatic decisions:
+
+    * ``num_split`` may be an int (fixed split count), ``"auto"`` /
+      ``ComputeMode.FP64_INT8_AUTO`` (the default — distributed
+      mantissa-loss estimation via :func:`sharded_auto_mode_select`,
+      reference split.cu:300-518, including the native-DGEMM fallback,
+      distributed as :func:`sharded_dgemm_native_fn`), or any
+      ``fp64_int8_N`` ComputeMode;
+    * the communication VARIANT (summa / ring / k-sharded) is chosen by
+      :func:`select_variant` — all variants are bitwise-identical, so
+      that choice is purely a memory/traffic decision.
+    """
+    from ..types import ComputeMode
+    from ..utils.log import log
+
+    if mesh is None:
+        mesh = make_mesh_2d()
     m, k = a.shape
     n = b.shape[1]
     complex_ = bool(np.iscomplexobj(a) or np.iscomplexobj(b))
+
+    if isinstance(num_split, str):
+        num_split = ComputeMode(num_split if "_" in num_split
+                                else f"fp64_int8_{num_split}")
+    if num_split is ComputeMode.FP64_INT8_AUTO:
+        sel = sharded_auto_mode_select(a, b, mesh, threshold, axis_x, axis_y)
+        log(f"AUTO selected mode = {sel.value} (distributed)")
+        if sel is ComputeMode.DGEMM:
+            return _sharded_dgemm_native(
+                a, b, mesh, axis_x, axis_y, alpha, beta, c
+            )
+        num_split = sel.num_split
+    elif isinstance(num_split, ComputeMode):
+        num_split = num_split.num_split
+
     v = select_variant(m, n, k, num_split, mesh, axis_x, axis_y, complex_)
     if v == "k":
         from jax.sharding import Mesh as _Mesh

@@ -447,3 +447,125 @@ class TestVariantSelection:
         np.testing.assert_array_equal(
             got_k.view(np.uint64), want_k.view(np.uint64)
         )
+
+
+class TestDistributedAuto:
+    """Distributed AUTO mode selection (reference split.cu:300-518 over a
+    mesh): bitwise-identical estimator totals -> identical selection vs
+    the single-chip surfaces, including the DGEMM fallback, distributed
+    as a native-f64 SUMMA."""
+
+    @staticmethod
+    def _mk(rng, shape, lo, hi):
+        return rng.random(shape) * np.exp2(
+            rng.integers(lo, hi, shape).astype(float)
+        )
+
+    def test_selection_identical_to_single_chip(self, mesh):
+        import ozimmu_tpu as oz
+        from ozimmu_tpu.parallel.gemm import sharded_auto_mode_select
+
+        rng = np.random.default_rng(70)
+        for lo, hi in ((0, 1), (-10, 10), (-150, 150)):
+            a = self._mk(rng, (32, 64), lo, hi)
+            b = self._mk(rng, (64, 32), lo, hi)
+            assert sharded_auto_mode_select(a, b, mesh) == oz.auto_mode_select(
+                a, b
+            ), f"selection diverged for exponent range [{lo}, {hi})"
+
+    def test_auto_gemm_bitwise_int8(self, mesh):
+        import ozimmu_tpu as oz
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_auto
+
+        rng = np.random.default_rng(71)
+        a = self._mk(rng, (32, 64), -10, 10)
+        b = self._mk(rng, (64, 32), -10, 10)
+        got = sharded_gemm_auto(a, b, "auto", mesh)
+        want = oz.gemm(a, b, mode="fp64_int8_auto")
+        assert oz.auto_mode_select(a, b).is_int8  # exercises the int8 arm
+        np.testing.assert_array_equal(got.view(np.uint64), want.view(np.uint64))
+
+    def test_complex_selection_shared_counter(self, mesh):
+        """Distributed complex selection == the single shared four-plane
+        counter (ops.mantissa_loss.auto_mode_select_complex)."""
+        from ozimmu_tpu.core.f64x import F64X
+        from ozimmu_tpu.core.handle import default_handle
+        from ozimmu_tpu.ops.mantissa_loss import auto_mode_select_complex
+        from ozimmu_tpu.parallel.gemm import sharded_auto_mode_select
+
+        rng = np.random.default_rng(72)
+        a = self._mk(rng, (32, 64), -10, 10) + 1j * self._mk(rng, (32, 64), -10, 10)
+        b = self._mk(rng, (64, 32), -10, 10) + 1j * self._mk(rng, (64, 32), -10, 10)
+        th = default_handle().avg_mantissa_loss_threshold
+        want = auto_mode_select_complex(
+            F64X.from_numpy(a.real.copy()),
+            F64X.from_numpy(a.imag.copy()),
+            F64X.from_numpy(b.real.copy()),
+            F64X.from_numpy(b.imag.copy()),
+            64,
+            th,
+        )
+        assert sharded_auto_mode_select(a, b, mesh) == want
+
+    def test_complex_auto_gemm_bitwise(self, mesh):
+        import ozimmu_tpu as oz
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_auto
+
+        rng = np.random.default_rng(73)
+        a = self._mk(rng, (32, 64), -8, 8) + 1j * self._mk(rng, (32, 64), -8, 8)
+        b = self._mk(rng, (64, 32), -8, 8) + 1j * self._mk(rng, (64, 32), -8, 8)
+        got = sharded_gemm_auto(a, b, "auto", mesh)
+        want = oz.gemm(a, b, mode="fp64_int8_auto")
+        np.testing.assert_array_equal(
+            np.ascontiguousarray(got).view(np.uint64),
+            np.ascontiguousarray(want).view(np.uint64),
+        )
+
+    def test_dgemm_fallback_with_epilogue(self, mesh):
+        """Exponent range beyond ns=18 -> DGEMM fallback, distributed as
+        native-f64 SUMMA, with alpha/beta/c and uneven (padded) dims."""
+        from ozimmu_tpu.parallel.gemm import (
+            sharded_auto_mode_select,
+            sharded_gemm_auto,
+        )
+        from ozimmu_tpu.types import ComputeMode
+
+        rng = np.random.default_rng(74)
+        a = self._mk(rng, (30, 50), -150, 150)
+        b = self._mk(rng, (50, 21), -150, 150)
+        c = self._mk(rng, (30, 21), -5, 5)
+        assert sharded_auto_mode_select(a, b, mesh) is ComputeMode.DGEMM
+        got = sharded_gemm_auto(a, b, "auto", mesh, alpha=2.5, beta=-1.5, c=c)
+        want = 2.5 * (a @ b) - 1.5 * c
+        rel = np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-280))
+        assert rel < 1e-14
+
+    def test_complex_dgemm_fallback(self, mesh):
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_auto
+
+        rng = np.random.default_rng(75)
+        a = self._mk(rng, (30, 50), -150, 150) + 1j * self._mk(rng, (30, 50), -150, 150)
+        b = self._mk(rng, (50, 21), -150, 150) + 1j * self._mk(rng, (50, 21), -150, 150)
+        c = self._mk(rng, (30, 21), -5, 5) + 1j * self._mk(rng, (30, 21), -5, 5)
+        got = sharded_gemm_auto(
+            a, b, "auto", mesh, alpha=1 + 2j, beta=0.5 - 1j, c=c
+        )
+        want = (1 + 2j) * (a @ b) + (0.5 - 1j) * c
+        rel = np.max(np.abs(got - want) / np.maximum(np.abs(want), 1e-280))
+        assert rel < 1e-13
+
+    def test_padded_dims_auto(self, mesh):
+        """Non-dividing dims: estimator pads like the engine, zero padding
+        contributes zero loss, result passes the residual gate."""
+        from ozimmu_tpu.parallel.gemm import (
+            sharded_auto_mode_select,
+            sharded_gemm_auto,
+        )
+
+        rng = np.random.default_rng(76)
+        a = self._mk(rng, (30, 50), -4, 4)
+        b = self._mk(rng, (50, 21), -4, 4)
+        sel = sharded_auto_mode_select(a, b, mesh)
+        assert sel.is_int8
+        got = sharded_gemm_auto(a, b, "auto", mesh)
+        assert error_metrics(got, a, b)["relative_residual"] < 1e-15
