@@ -63,3 +63,25 @@ if len(jax.devices()) >= 4:
 else:
     print("ring demo needs >= 4 devices (run with JAX_PLATFORMS=cpu "
           "XLA_FLAGS=--xla_force_host_platform_device_count=8)")
+
+# fully automatic: distributed AUTO mode selection (mesh-wide
+# mantissa-loss estimator, identical selection to oz.auto_mode_select)
+# plus automatic variant choice (summa / ring / k-sharded)
+from ozimmu_tpu.parallel.gemm import sharded_auto_mode_select, sharded_gemm_auto
+
+aw = a * np.exp2(rng.integers(-10, 10, a.shape).astype(float))
+bw = b * np.exp2(rng.integers(-10, 10, b.shape).astype(float))
+sel = sharded_auto_mode_select(aw, bw, mesh)
+print("distributed AUTO picked:", sel.value,
+      "(single-chip picks:", oz.auto_mode_select(aw, bw).value + ")")
+c_auto = sharded_gemm_auto(aw, bw, "auto", mesh)
+c_auto_local = oz.gemm(aw, bw, mode="fp64_int8_auto")
+print("auto bitwise == local:",
+      np.array_equal(c_auto.view(np.uint64), c_auto_local.view(np.uint64)))
+
+# tall-contraction complex: routed to the 1D k-sharded ZGEMM
+zk_a = rng.normal(size=(16, 4096)) + 1j * rng.normal(size=(16, 4096))
+zk_b = rng.normal(size=(4096, 16)) + 1j * rng.normal(size=(4096, 16))
+zk = sharded_gemm_auto(zk_a, zk_b, 10, mesh)
+print("tall-k complex == local:",
+      np.array_equal(zk, oz.gemm(zk_a, zk_b, mode="fp64_int8_10")))

@@ -70,34 +70,39 @@ def split_with_row_exp(
     delta = (e_row + 1)[bcast] - e  # >= 1 where the scale group is nonzero
     mask = np.uint32((1 << b) - 1)
 
-    planes = []
-    for plane in range(num_split):
-        i = plane + 1
-        r = 53 + delta - i * b  # int32 window LSB position
-        # clamp into shift-legal ranges; semantics preserved because
-        # m53 < 2^53 (r>=53 -> 0) and windows below bit -b are all zero.
-        r_hi = jnp.clip(r - 32, 0, 31).astype(jnp.uint32)
-        r_lo = jnp.clip(r, 0, 31).astype(jnp.uint32)
-        l_hi = jnp.clip(32 - r, 1, 31).astype(jnp.uint32)
-        l_neg = jnp.clip(-r, 0, 31).astype(jnp.uint32)
+    # All ns digit windows extracted as ONE vectorized op over a leading
+    # plane axis (like the estimator's candidate axis, ops/mantissa_loss):
+    # the expensive loads (mantissa words, delta) are shared across planes
+    # in a single fusion instead of ns separate loop nests + stack.  Also
+    # sidesteps a nondeterministic-wrong-results bug in XLA:CPU's fused
+    # ragged loop partitioning (multi-device CPU clients on few-core
+    # hosts; observed: the per-plane-loop form corrupts partition-boundary
+    # elements, e.g. row k/2 at [250, 9] — same executable, flip-flopping
+    # results).  Bitwise-identical either way (exact integer ops).
+    ii = (np.arange(1, num_split + 1, dtype=np.int32) * np.int32(b))[:, None, None]
+    r = (53 + delta)[None, :, :] - ii  # [ns, rows, cols] window LSB position
+    # clamp into shift-legal ranges; semantics preserved because
+    # m53 < 2^53 (r>=53 -> 0) and windows below bit -b are all zero.
+    r_hi = jnp.clip(r - 32, 0, 31).astype(jnp.uint32)
+    r_lo = jnp.clip(r, 0, 31).astype(jnp.uint32)
+    l_hi = jnp.clip(32 - r, 1, 31).astype(jnp.uint32)
+    l_neg = jnp.clip(-r, 0, 31).astype(jnp.uint32)
 
-        from_hi = (m_hi >> r_hi) & mask  # window entirely in the high word
-        straddle = ((m_hi << l_hi) | (m_lo >> r_lo)) & mask
-        from_neg = (m_lo << l_neg) & mask  # window extends below bit 0
+    m_hi, m_lo = m_hi[None], m_lo[None]
+    from_hi = (m_hi >> r_hi) & mask  # window entirely in the high word
+    straddle = ((m_hi << l_hi) | (m_lo >> r_lo)) & mask
+    from_neg = (m_lo << l_neg) & mask  # window extends below bit 0
 
-        win = jnp.where(
-            r >= 53,
-            np.uint32(0),
-            jnp.where(
-                r >= 32,
-                from_hi,
-                jnp.where(r >= 0, straddle, jnp.where(r > -b, from_neg, np.uint32(0))),
-            ),
-        )
-        d = win.astype(jnp.int32) * dsign
-        planes.append(d.astype(jnp.int8))
-
-    digits = jnp.stack(planes, axis=0)
+    win = jnp.where(
+        r >= 53,
+        np.uint32(0),
+        jnp.where(
+            r >= 32,
+            from_hi,
+            jnp.where(r >= 0, straddle, jnp.where(r > -b, from_neg, np.uint32(0))),
+        ),
+    )
+    digits = (win.astype(jnp.int32) * dsign[None]).astype(jnp.int8)
     digits = jnp.where(nonzero_row[(None,) + bcast], digits, np.int8(0))
     return digits, pexp
 

@@ -206,6 +206,92 @@ def sharded_gemm_k_fn(
     return _wrap_kernel(mesh, _body, spec_a, spec_b, spec_c, with_c=beta != 0.0)
 
 
+def sharded_zgemm_k_fn(
+    mesh: Mesh,
+    num_split: int,
+    k_global: int,
+    axis_k: str = "k",
+    alpha: complex = 1.0 + 0j,
+    beta: complex = 0.0 + 0j,
+):
+    """1D k-sharded (contraction-parallel) complex GEMM — the ZGEMM
+    analogue of :func:`sharded_gemm_k_fn`, completing the variant matrix
+    (tall-k complex Gram/covariance matrices).
+
+    Each of the four pass combinations (reference gemm.cu:412-521)
+    accumulates exact int32 group totals of the local k panel and
+    ``psum_scatter``s them along k (order-independent int32 sums — the
+    result is bitwise-identical to the single-chip complex engine); the
+    shared complex fold then runs on the row-sharded C block.  Cross-chip
+    traffic: 4x the int32 group totals of the real variant.
+
+    In/out: A planes ``P(None, k)``, B planes ``P(k, None)``; C planes
+    and the (re, im) output come back ``P(k, None)`` (row-sharded).
+    """
+    from ..core.gemm import ZGEMM_PASSES, _zfold_passes
+    from ..ops.recombine import fold_group_totals, group_totals
+
+    b = bits_per_int8(k_global)
+    if b <= 0:
+        raise ValueError(f"global k={k_global} too large for int8 emulation")
+    alpha, beta = complex(alpha), complex(beta)
+    spec_a = P(None, axis_k)
+    spec_b = P(axis_k, None)
+    spec_c = P(axis_k, None)
+    shift = np.int32(acc_shift(num_split, b))
+
+    def _body(a_re, a_im, b_re, b_im, c_re, c_im):
+        da, pa = {}, {}
+        for idx, xx in ((0, a_re), (1, a_im)):
+            da[idx], pa[idx] = _local_split(xx, axis_k, num_split, b, axis=1)
+        db, pb = {}, {}
+        for idx, xx in ((0, b_re), (1, b_im)):
+            db[idx], pb[idx] = _local_split(xx, axis_k, num_split, b, axis=0)
+
+        SEs = []
+        for ap, bp in ZGEMM_PASSES:
+            totals = group_totals(da[ap], db[bp], num_split, k_global, b)
+            totals = [
+                jax.lax.psum_scatter(t, axis_k, scatter_dimension=0, tiled=True)
+                for t in totals
+            ]
+            S = fold_group_totals(totals, num_split, k_global, b)
+            m_local = totals[0].shape[0]
+            row0 = jax.lax.axis_index(axis_k) * m_local
+            pa_c = jax.lax.dynamic_slice_in_dim(pa[ap], row0, m_local)
+            E = (pa_c[:, None] + pb[bp][None, :] - shift).astype(jnp.int32)
+            SEs.append((S, E))
+        m_l, n_l = SEs[0][1].shape
+        return _zfold_passes(SEs, m_l, n_l, alpha, beta, c_re, c_im)
+
+    with_c = beta != 0
+    in_specs = (spec_a,) * 4 + (spec_b,) * 4 + ((spec_c,) * 4 if with_c else ())
+
+    @partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=in_specs,
+        out_specs=(spec_c,) * 4,
+        check_vma=False,
+    )
+    def _kernel(*planes):
+        xs = [F64X(planes[2 * i], planes[2 * i + 1]) for i in range(len(planes) // 2)]
+        if with_c:
+            out_re, out_im = _body(*xs)
+        else:
+            out_re, out_im = _body(*xs, None, None)
+        return out_re.hi, out_re.lo, out_im.hi, out_im.lo
+
+    def fn(*xs):
+        flat = []
+        for x in xs:
+            flat.extend((x.hi, x.lo))
+        rh, rl, ih, il = _kernel(*flat)
+        return F64X(rh, rl), F64X(ih, il)
+
+    return fn
+
+
 def _skew(planes, ring_axis, amount_idx, q):
     """Rotate ``planes`` along ``ring_axis`` by a per-device amount (the
     other mesh coordinate), in log2(q) masked ppermute rounds — the
@@ -831,8 +917,9 @@ def select_variant(
 
     The decision procedure documented in parallel/launch.py, as code:
 
-    * tall contraction (k >= 8 * max(m, n), real) -> "k": the 1D
-      k-sharded psum_scatter variant moves only int32 group totals;
+    * tall contraction (k >= 8 * max(m, n)) -> "k": the 1D k-sharded
+      psum_scatter variant moves only int32 group totals (4 pass sets
+      for complex);
     * operand slabs exceed the HBM budget AND the mesh is square ->
       "ring": Cannon streaming keeps 2 panels resident (q-fold less);
     * otherwise -> "summa": fewest collective steps, XLA overlaps the
@@ -844,12 +931,14 @@ def select_variant(
         hbm_bytes = hbm_budget_bytes()
     xs, ys = mesh.shape[axis_x], mesh.shape[axis_y]
     P_sz = xs * ys
+    f = 2 if complex_ else 1
     if (
-        not complex_
-        and k >= 8 * max(m, n)
+        k >= 8 * max(m, n)
         # the k variant keeps the FULL m x n output block and its
         # accumulators on every device — only eligible when that fits
-        and (8 + 16 + 4) * m * n + 8 * (m + n) * (-(-k // P_sz)) <= hbm_bytes
+        # (complex: re/im planes double the bits, passes run sequentially)
+        and f * ((8 + 16 + 4) * m * n + 8 * (m + n) * (-(-k // P_sz)))
+        <= hbm_bytes
     ):
         return "k"
     if (
@@ -984,7 +1073,7 @@ def sharded_gemm_auto(
 
         kmesh = _Mesh(mesh.devices.reshape(-1), ("k",))
         return sharded_gemm_k(
-            a, b, num_split, kmesh, alpha=float(alpha), beta=float(beta), c=c
+            a, b, num_split, kmesh, alpha=alpha, beta=beta, c=c
         )
     return sharded_gemm(
         a, b, num_split, mesh, axis_x, axis_y, ring=(v == "ring"),
@@ -1007,7 +1096,7 @@ def sharded_gemm_k(
     Shards A ``P(None, k)`` / B ``P(k, None)`` over a 1D mesh (default:
     all devices), zero-pads m and k up to shard multiples (the
     ``psum_scatter`` row-scatter needs m | P), runs, gathers back.
-    Real-only (like the underlying :func:`sharded_gemm_k_fn`).
+    Complex128 operands route to :func:`sharded_zgemm_k_fn`.
     """
     if mesh is None:
         devs = jax.devices()
@@ -1019,19 +1108,21 @@ def sharded_gemm_k(
         raise ValueError(f"shape mismatch: {a.shape} @ {b.shape}")
     if beta != 0 and c is None:
         raise ValueError("beta != 0 requires c")
+    complex_ = bool(np.iscomplexobj(a) or np.iscomplexobj(b))
+    dt = np.complex128 if complex_ else np.float64
 
     def up(v, q):
         return -(-v // q) * q
 
     m_p, k_p = up(m, P_sz), up(k, P_sz)
     if (m_p, k_p) != (m, k):
-        ap = np.zeros((m_p, k_p), dtype=np.float64)
+        ap = np.zeros((m_p, k_p), dtype=dt)
         ap[:m, :k] = a
-        bp = np.zeros((k_p, n), dtype=np.float64)
+        bp = np.zeros((k_p, n), dtype=dt)
         bp[:k, :] = b
         cp = None
         if c is not None:
-            cp = np.zeros((m_p, n), dtype=np.float64)
+            cp = np.zeros((m_p, n), dtype=dt)
             cp[:m, :] = c
         return sharded_gemm_k(
             ap, bp, num_split, mesh, axis_k, alpha=alpha, beta=beta, c=cp
@@ -1044,6 +1135,23 @@ def sharded_gemm_k(
     def put(x, s) -> F64X:
         fx = F64X.from_numpy(np.ascontiguousarray(x, np.float64))
         return F64X(jax.device_put(fx.hi, s), jax.device_put(fx.lo, s))
+
+    if complex_:
+        a = np.asarray(a, dtype=np.complex128)
+        b = np.asarray(b, dtype=np.complex128)
+        zfn = jax.jit(
+            sharded_zgemm_k_fn(
+                mesh, num_split, k, axis_k, complex(alpha), complex(beta)
+            )
+        )
+        ops = [put(a.real, sa), put(a.imag, sa), put(b.real, sb), put(b.imag, sb)]
+        if beta != 0:
+            c = np.asarray(c, dtype=np.complex128)
+            ops += [put(c.real, sc), put(c.imag, sc)]
+        out_re, out_im = zfn(*ops)
+        return (
+            out_re.to_numpy().reshape(m, n) + 1j * out_im.to_numpy().reshape(m, n)
+        )
 
     fn = jax.jit(
         sharded_gemm_k_fn(mesh, num_split, k, axis_k, float(alpha), float(beta))

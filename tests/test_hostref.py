@@ -161,3 +161,46 @@ class TestZgemm:
         out = zgemm_fp64(a, b, 10, alpha=alpha, beta=beta, c=c0)
         ref = alpha * (a @ b) + beta * c0
         np.testing.assert_allclose(out, ref, rtol=1e-13)
+
+
+class TestDispatchStability:
+    """Regression tripwire for an XLA:CPU multi-device-client bug (found
+    2026-08-18): fused loops with ragged partitions could return
+    DIFFERENT results per dispatch of the SAME executable on the same
+    inputs (corrupting a partition-boundary tile — row k/2, first columns
+    at [250, 9]).  The split's vectorized window extraction dodges the
+    racy fusion shape; this test re-dispatches the previously-affected
+    graphs and asserts bitwise-stable outputs, so any regression (or a
+    new XLA manifestation) fails loudly instead of flaking bitwise tests
+    elsewhere."""
+
+    def test_split_cols_stable_at_ragged_shape(self):
+        import jax
+
+        from ozimmu_tpu.core.f64x import F64X
+        from ozimmu_tpu.ops.split import split_f64x_cols
+        from ozimmu_tpu.schedule import bits_per_int8
+
+        rng = np.random.default_rng(81)
+        x = F64X.from_numpy(rng.normal(size=(250, 9)))
+        bb = bits_per_int8(250)
+        fn = jax.jit(lambda h, lo: split_f64x_cols(F64X(h, lo), 9, bb))
+        d0, p0 = map(np.asarray, fn(x.hi, x.lo))
+        for _ in range(6):
+            d, p = map(np.asarray, fn(x.hi, x.lo))
+            np.testing.assert_array_equal(d, d0)
+            np.testing.assert_array_equal(p, p0)
+
+    def test_full_engine_stable_at_ragged_shape(self):
+        import ozimmu_tpu as oz
+
+        rng = np.random.default_rng(81)
+        a = rng.normal(size=(13, 250)) + 1j * rng.normal(size=(13, 250))
+        b = rng.normal(size=(250, 9)) + 1j * rng.normal(size=(250, 9))
+        w0 = oz.gemm(a, b, mode="fp64_int8_9")
+        for _ in range(3):
+            w = oz.gemm(a, b, mode="fp64_int8_9")
+            np.testing.assert_array_equal(
+                np.ascontiguousarray(w).view(np.uint64),
+                np.ascontiguousarray(w0).view(np.uint64),
+            )
