@@ -57,7 +57,7 @@ from .core.handle import (
     get_auto_mantissa_loss_threshold,
 )
 from .utils.profiling import device_trace
-from . import hostref, schedule, testing, traced, types
+from . import hostref, linalg, schedule, testing, traced, types
 
 __version__ = "0.1.0"
 
@@ -94,6 +94,7 @@ __all__ = [
     "set_auto_mantissa_loss_threshold",
     "get_auto_mantissa_loss_threshold",
     "hostref",
+    "linalg",
     "schedule",
     "testing",
     "traced",

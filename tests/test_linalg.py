@@ -1,0 +1,128 @@
+"""HPL-class solver tests (ozimmu_tpu/linalg.py): blocked LU with the
+engine doing the trailing-matrix GEMMs, triangular solves, and HPL-AI
+style iterative refinement."""
+
+import numpy as np
+import pytest
+
+from ozimmu_tpu.linalg import lu_factor, lu_solve, solve
+
+
+def _pa_lu_residual(a, lu, piv):
+    """||P A - L U||_F / ||A||_F with P reconstructed from getrf pivots."""
+    n = a.shape[0]
+    pa = a.copy()
+    for i in range(n):
+        p = piv[i]
+        if p != i:
+            pa[[i, p], :] = pa[[p, i], :]
+    l = np.tril(lu, -1) + np.eye(n, dtype=lu.dtype)
+    u = np.triu(lu)
+    return np.linalg.norm(pa - l @ u) / np.linalg.norm(a)
+
+
+def _solve_residual(a, x, b):
+    return np.linalg.norm(a @ x - b) / (
+        np.linalg.norm(a) * np.linalg.norm(x) + np.linalg.norm(b)
+    )
+
+
+class TestLuFactor:
+    def test_factorization_residual_int8_9(self):
+        rng = np.random.default_rng(0)
+        a = rng.uniform(-1, 1, size=(384, 384))
+        lu, piv = lu_factor(a, mode="fp64_int8_9", block=96)
+        assert _pa_lu_residual(a, lu, piv) < 1e-14
+
+    def test_matches_native_mode_quality(self):
+        # the engine-updated factorization is as good as one whose GEMM
+        # updates run in native f64 (same algorithm, mode="dgemm")
+        rng = np.random.default_rng(1)
+        a = rng.normal(size=(256, 256))
+        lu9, piv9 = lu_factor(a, mode="fp64_int8_9", block=64)
+        lud, pivd = lu_factor(a, mode="dgemm", block=64)
+        r9 = _pa_lu_residual(a, lu9, piv9)
+        rd = _pa_lu_residual(a, lud, pivd)
+        assert r9 < 2 * rd + 1e-15
+
+    def test_block_edge_cases(self):
+        rng = np.random.default_rng(2)
+        a = rng.uniform(-1, 1, size=(130, 130))  # n not a block multiple
+        for block in (130, 200, 37, 1):
+            lu, piv = lu_factor(a, mode="fp64_int8_9", block=block)
+            assert _pa_lu_residual(a, lu, piv) < 1e-14, block
+
+    def test_pivoting_permutation_matrix(self):
+        # a matrix that is mostly a permutation forces pivot swaps at
+        # every step; exactness check (no rounding possible)
+        n = 64
+        perm = np.random.default_rng(3).permutation(n)
+        a = np.zeros((n, n))
+        a[np.arange(n), perm] = np.arange(1, n + 1, dtype=float)
+        lu, piv = lu_factor(a, mode="fp64_int8_9", block=16)
+        assert _pa_lu_residual(a, lu, piv) == 0.0
+
+    def test_singular_raises(self):
+        a = np.ones((32, 32))
+        with pytest.raises(np.linalg.LinAlgError):
+            lu_factor(a, mode="fp64_int8_9", block=8)
+
+    def test_complex(self):
+        rng = np.random.default_rng(4)
+        a = rng.normal(size=(160, 160)) + 1j * rng.normal(size=(160, 160))
+        lu, piv = lu_factor(a, mode="fp64_int8_9", block=48)
+        assert _pa_lu_residual(a, lu, piv) < 1e-14
+
+    def test_rejects_non_square(self):
+        with pytest.raises(ValueError):
+            lu_factor(np.ones((4, 5)), mode="fp64_int8_9")
+
+
+class TestSolve:
+    def test_solve_vector_and_matrix_rhs(self):
+        rng = np.random.default_rng(5)
+        a = rng.uniform(-1, 1, size=(300, 300))
+        x_true = rng.normal(size=300)
+        b = a @ x_true
+        x = solve(a, b, mode="fp64_int8_9", block=100)
+        assert _solve_residual(a, x, b) < 1e-15
+        bm = rng.normal(size=(300, 3))
+        xm = solve(a, bm, mode="fp64_int8_9", block=100)
+        assert _solve_residual(a, xm, bm) < 1e-15
+
+    def test_hpl_ai_refinement_recovers_f64(self):
+        # factor in a CHEAP mode (int8_5: ~4e-10 GEMM residual), then
+        # f64-residual refinement converges to working precision — the
+        # HPL-AI recipe on the mode Pareto curve
+        rng = np.random.default_rng(6)
+        a = rng.uniform(-1, 1, size=(256, 256)) + 4 * np.eye(256)
+        x_true = rng.normal(size=256)
+        b = a @ x_true
+        x0 = solve(a, b, mode="fp64_int8_5", block=64)
+        r0 = _solve_residual(a, x0, b)
+        x = solve(a, b, mode="fp64_int8_5", block=64, refine=3)
+        r = _solve_residual(a, x, b)
+        assert r0 > 1e-12  # cheap factorization alone is NOT f64-grade
+        assert r < 1e-15  # refinement restores it
+
+    def test_sgemm_demotion_refinement(self):
+        rng = np.random.default_rng(7)
+        a = rng.uniform(-1, 1, size=(192, 192)) + 4 * np.eye(192)
+        b = a @ rng.normal(size=192)
+        x = solve(a, b, mode="sgemm", block=64, refine=4)
+        assert _solve_residual(a, x, b) < 1e-15
+
+    def test_complex_solve(self):
+        rng = np.random.default_rng(8)
+        a = rng.normal(size=(128, 128)) + 1j * rng.normal(size=(128, 128))
+        x_true = rng.normal(size=128) + 1j * rng.normal(size=128)
+        b = a @ x_true
+        x = solve(a, b, mode="fp64_int8_9", block=48)
+        assert _solve_residual(a, x, b) < 1e-15
+
+    def test_lu_solve_rhs_shape_guard(self):
+        rng = np.random.default_rng(9)
+        a = rng.uniform(-1, 1, size=(32, 32))
+        fac = lu_factor(a, mode="fp64_int8_9", block=16)
+        with pytest.raises(ValueError):
+            lu_solve(fac, np.ones(33))
