@@ -27,7 +27,7 @@ import numpy as np
 
 from .core.api import gemm
 
-__all__ = ["lu_factor", "lu_solve", "solve"]
+__all__ = ["lu_factor", "lu_solve", "solve", "cholesky", "cho_solve"]
 
 
 def _panel_factor(a: np.ndarray, j: int, jb: int, piv: np.ndarray) -> None:
@@ -177,3 +177,92 @@ def solve(
         r = np.asarray(b) - a @ x
         x = x + lu_solve(fac, r)
     return x
+
+
+def cholesky(
+    a,
+    *,
+    mode=None,
+    block: int = 256,
+    handle=None,
+) -> np.ndarray:
+    """Blocked Cholesky factorization ``A = L @ L^H`` (lower), SPD/HPD input.
+
+    Right-looking algorithm, same division of labor as :func:`lu_factor`
+    (and as HPL-class solvers over the reference shim): the diagonal
+    block factors in host f64 (O(n * nb^2) work), the panel solve
+    ``L21 = A21 @ L11^-H`` is a host triangular solve, and the trailing
+    Hermitian update ``A22 -= L21 @ L21^H`` — asymptotically all the
+    O(n^3/3) FLOPs — runs through :func:`ozimmu_tpu.gemm` with
+    ``alpha=-1, beta=1, c=A22`` in the selected compute mode.
+
+    Only the lower triangle of ``a`` is read.  Returns L with the strict
+    upper triangle zeroed.  Raises ``LinAlgError`` if a diagonal block is
+    not positive definite.
+    """
+    a = np.array(a, order="C", copy=True)
+    if a.ndim != 2 or a.shape[0] != a.shape[1]:
+        raise ValueError(f"cholesky needs a square 2D matrix, got {a.shape}")
+    if not np.iscomplexobj(a):
+        a = a.astype(np.float64, copy=False)
+    n = a.shape[0]
+    nb = max(1, min(int(block), n))
+
+    for j in range(0, n, nb):
+        jb = min(nb, n - j)
+        rest = j + jb
+        # host f64: factor the diagonal block (reads its lower triangle)
+        try:
+            l11 = np.linalg.cholesky(a[j:rest, j:rest])
+        except np.linalg.LinAlgError as e:
+            raise np.linalg.LinAlgError(
+                f"matrix is not positive definite (diagonal block at {j})"
+            ) from e
+        a[j:rest, j:rest] = l11
+        if rest >= n:
+            break
+        # host f64: panel solve L21 = A21 @ L11^-H  (triangular, O(n*nb^2))
+        l21 = a[rest:, j:rest]
+        for i in range(jb):  # forward substitution on columns of L21
+            l21[:, i] = (l21[:, i] - l21[:, :i] @ np.conj(l11[i, :i])) / np.conj(
+                l11[i, i]
+            )
+        # engine: trailing Hermitian update A22 -= L21 @ L21^H
+        a[rest:, rest:] = gemm(
+            np.ascontiguousarray(l21),
+            np.ascontiguousarray(np.conj(l21)),
+            op_b="T",
+            mode=mode,
+            alpha=-1.0,
+            beta=1.0,
+            c=np.ascontiguousarray(a[rest:, rest:]),
+            handle=handle,
+        )
+    return np.tril(a)
+
+
+def cho_solve(l: np.ndarray, b) -> np.ndarray:
+    """Solve ``A @ x = b`` from :func:`cholesky` output (host f64,
+    O(n^2) forward/back substitution with ``L`` and ``L^H``)."""
+    l = np.asarray(l)
+    n = l.shape[0]
+    x = np.array(b, copy=True)
+    if not (np.iscomplexobj(x) or np.iscomplexobj(l)):
+        x = x.astype(np.float64, copy=False)
+    elif not np.iscomplexobj(x):
+        x = x.astype(np.complex128)
+    vec = x.ndim == 1
+    if vec:
+        x = x[:, None]
+    if x.shape[0] != n:
+        raise ValueError(f"rhs rows {x.shape[0]} != matrix size {n}")
+    for i in range(n):  # L y = b
+        if i:
+            x[i, :] -= l[i, :i] @ x[:i, :]
+        x[i, :] /= l[i, i]
+    lh = np.conj(l)
+    for i in range(n - 1, -1, -1):  # L^H x = y
+        if i + 1 < n:
+            x[i, :] -= lh[i + 1 :, i] @ x[i + 1 :, :]
+        x[i, :] /= lh[i, i]
+    return x[:, 0] if vec else x

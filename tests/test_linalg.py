@@ -5,7 +5,7 @@ style iterative refinement."""
 import numpy as np
 import pytest
 
-from ozimmu_tpu.linalg import lu_factor, lu_solve, solve
+from ozimmu_tpu.linalg import cho_solve, cholesky, lu_factor, lu_solve, solve
 
 
 def _pa_lu_residual(a, lu, piv):
@@ -126,3 +126,73 @@ class TestSolve:
         fac = lu_factor(a, mode="fp64_int8_9", block=16)
         with pytest.raises(ValueError):
             lu_solve(fac, np.ones(33))
+
+
+def _spd(rng, n, complex_=False):
+    g = rng.normal(size=(n, n))
+    if complex_:
+        g = g + 1j * rng.normal(size=(n, n))
+    return g @ np.conj(g.T) + n * np.eye(n)
+
+
+class TestCholesky:
+    def test_factorization_residual_int8_9(self):
+        rng = np.random.default_rng(10)
+        a = _spd(rng, 384)
+        l = cholesky(a, mode="fp64_int8_9", block=96)
+        assert np.allclose(np.triu(l, 1), 0)  # strict upper zeroed
+        assert np.linalg.norm(a - l @ l.T) / np.linalg.norm(a) < 1e-14
+
+    def test_block_edge_cases(self):
+        rng = np.random.default_rng(11)
+        a = _spd(rng, 130)  # n not a block multiple
+        for block in (130, 200, 37, 1):
+            l = cholesky(a, mode="fp64_int8_9", block=block)
+            assert (
+                np.linalg.norm(a - l @ l.T) / np.linalg.norm(a) < 1e-14
+            ), block
+
+    def test_hermitian_complex(self):
+        rng = np.random.default_rng(12)
+        a = _spd(rng, 160, complex_=True)
+        l = cholesky(a, mode="fp64_int8_9", block=48)
+        assert np.linalg.norm(a - l @ np.conj(l.T)) / np.linalg.norm(a) < 1e-14
+
+    def test_reads_lower_triangle_only(self):
+        rng = np.random.default_rng(13)
+        a = _spd(rng, 96)
+        junk = a.copy()
+        junk[np.triu_indices(96, 1)] = 1e300  # garbage above the diagonal
+        l = cholesky(junk, mode="fp64_int8_9", block=32)
+        l_ref = cholesky(a, mode="fp64_int8_9", block=32)
+        assert np.array_equal(l, l_ref)
+
+    def test_cho_solve(self):
+        rng = np.random.default_rng(14)
+        a = _spd(rng, 256)
+        x_true = rng.normal(size=256)
+        b = a @ x_true
+        l = cholesky(a, mode="fp64_int8_9", block=64)
+        x = cho_solve(l, b)
+        assert _solve_residual(a, x, b) < 1e-15
+        bm = rng.normal(size=(256, 3))
+        xm = cho_solve(l, bm)
+        assert _solve_residual(a, xm, bm) < 1e-15
+
+    def test_cho_solve_complex(self):
+        rng = np.random.default_rng(15)
+        a = _spd(rng, 128, complex_=True)
+        b = a @ (rng.normal(size=128) + 1j * rng.normal(size=128))
+        l = cholesky(a, mode="fp64_int8_9", block=48)
+        x = cho_solve(l, b)
+        assert _solve_residual(a, x, b) < 1e-15
+
+    def test_not_positive_definite_raises(self):
+        a = np.eye(64)
+        a[40, 40] = -1.0
+        with pytest.raises(np.linalg.LinAlgError):
+            cholesky(a, mode="fp64_int8_9", block=16)
+
+    def test_rejects_non_square(self):
+        with pytest.raises(ValueError):
+            cholesky(np.ones((4, 5)), mode="fp64_int8_9")
