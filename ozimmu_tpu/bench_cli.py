@@ -349,6 +349,40 @@ def run_power(gemm_kind: str, mode: str, size: int, min_seconds: float) -> int:
     return 0
 
 
+def run_hpl(mode: str, size: int, block: int, refine: int) -> int:
+    """HPL-class solver benchmark: blocked LU factor + solve on the engine
+    (the reference's motivating workload — its shim exists to accelerate
+    HPL's dgemm calls, src/cublas.cu:280-295).  Reports factorization
+    wall time, effective FP64 GFLOPS at the LU operation count
+    (2/3 n^3), and the final solve residual (scaled, HPL-style)."""
+    import time as _time
+
+    from ozimmu_tpu import linalg
+    from ozimmu_tpu.testing import generate_input
+
+    rng_b = np.random.default_rng(99)
+    a = generate_input("urand01", (size, size), seed=0)
+    a = a + size * np.eye(size)  # diagonally dominant: refinement-friendly
+    x_true = rng_b.standard_normal(size)
+    b = a @ x_true
+
+    t0 = _time.perf_counter()
+    fac = linalg.lu_factor(a, mode=mode, block=block)
+    t_factor = _time.perf_counter() - t0
+    x = linalg.solve(a, b, factor=fac, refine=refine)
+    resid = np.linalg.norm(a @ x - b) / (
+        np.linalg.norm(a) * np.linalg.norm(x) + np.linalg.norm(b)
+    )
+    gflops = (2.0 / 3.0) * size**3 / t_factor / 1e9
+    print(
+        f"hpl,{_device_name()},{mode},n={size},block={block},"
+        f"factor_time={t_factor:.4e}s,gflops={gflops:.4g},"
+        f"refine={refine},residual={resid:.4e}",
+        flush=True,
+    )
+    return 0 if resid < 1e-14 else 1
+
+
 def main(argv=None) -> int:
     import os
 
@@ -387,6 +421,15 @@ def main(argv=None) -> int:
             ar.a_bin, ar.b_bin, ar.m, ar.k, ar.n, ar.dtype,
             ar.modes.split(","), ar.test_count,
         )
+    if argv and argv[0] == "hpl":
+        q = argparse.ArgumentParser()
+        q.add_argument("cmd")
+        q.add_argument("mode", nargs="?", default="fp64_int8_9")
+        q.add_argument("size", nargs="?", type=int, default=4096)
+        q.add_argument("--block", type=int, default=1024)
+        q.add_argument("--refine", type=int, default=0)
+        ar = q.parse_args(argv)
+        return run_hpl(ar.mode, ar.size, ar.block, ar.refine)
     if argv and argv[0] == "power":
         q = argparse.ArgumentParser()
         q.add_argument("cmd")

@@ -107,3 +107,19 @@ class TestBenchCli:
             bench_cli.load_raw_matrix(str(p), 2, 4, "fp64")
         with pytest.raises(ValueError, match="dtype"):
             bench_cli.load_raw_matrix(str(p), 7, 1, "int8")
+
+    def test_hpl_mode(self):
+        # HPL-class solver benchmark: schema + gate (factor via main() to
+        # cover the CLI wiring)
+        rc, out = self._capture(
+            bench_cli.main, ["hpl", "fp64_int8_9", "96", "--block", "48"]
+        )
+        assert rc == 0
+        row = out.strip().splitlines()[-1]
+        assert row.startswith("hpl,")
+        fields = dict(
+            f.split("=") for f in row.split(",") if "=" in f
+        )
+        assert float(fields["factor_time"].rstrip("s")) > 0
+        assert float(fields["gflops"]) > 0
+        assert float(fields["residual"]) < 1e-14
