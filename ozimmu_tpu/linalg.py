@@ -27,6 +27,15 @@ import numpy as np
 
 from .core.api import gemm
 
+try:  # LAPACK/BLAS host paths for the O(n^2*nb) non-GEMM work.  The
+    # pure-numpy loops below remain as fallbacks; both compute the same
+    # factorization (partial pivoting over the full trailing column).
+    from scipy.linalg import lu_factor as _sp_lu_factor
+    from scipy.linalg import lu_solve as _sp_lu_solve
+    from scipy.linalg import solve_triangular as _sp_solve_triangular
+except ImportError:  # pragma: no cover - scipy is present in CI
+    _sp_lu_factor = _sp_lu_solve = _sp_solve_triangular = None
+
 __all__ = ["lu_factor", "lu_solve", "solve", "cholesky", "cho_solve"]
 
 
@@ -36,8 +45,31 @@ def _panel_factor(a: np.ndarray, j: int, jb: int, piv: np.ndarray) -> None:
     Pivot rows are swapped across the FULL width of ``a`` (LAPACK getrf
     convention, so already-computed L columns stay consistent) and the
     absolute row indices are recorded in ``piv[j:j+jb]``.
+
+    Uses LAPACK ``getrf`` on the panel when scipy is available (the
+    panel is O(n*nb^2) work — a Python column loop would dominate the
+    engine GEMMs at benchmark sizes), falling back to a numpy loop.
     """
     n = a.shape[0]
+    if _sp_lu_factor is not None:
+        import warnings
+
+        with warnings.catch_warnings():
+            warnings.simplefilter("ignore")  # scipy warns on zero pivots;
+            lu, p_loc = _sp_lu_factor(a[j:, j : j + jb], check_finite=False)
+        d = np.diagonal(lu)
+        if np.any(d == 0):  # we raise instead (reference getrf info > 0)
+            jj = j + int(np.flatnonzero(d == 0)[0])
+            raise np.linalg.LinAlgError(
+                f"singular matrix: zero pivot at column {jj}"
+            )
+        for i in range(jb):  # swap FULL rows of a, in factorization order
+            p = j + int(p_loc[i])
+            piv[j + i] = p
+            if p != j + i:
+                a[[j + i, p], :] = a[[p, j + i], :]
+        a[j:, j : j + jb] = lu
+        return
     for jj in range(j, j + jb):
         p = jj + int(np.argmax(np.abs(a[jj:, jj])))
         if a[p, jj] == 0:
@@ -57,6 +89,11 @@ def _panel_factor(a: np.ndarray, j: int, jb: int, piv: np.ndarray) -> None:
 
 def _unit_lower_solve(l11: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Solve ``L11 @ X = B`` with L11 unit lower triangular, in place on B."""
+    if _sp_solve_triangular is not None:
+        b[:] = _sp_solve_triangular(
+            l11, b, lower=True, unit_diagonal=True, check_finite=False
+        )
+        return b
     for i in range(1, l11.shape[0]):
         b[i, :] -= l11[i, :i] @ b[:i, :]
     return b
@@ -131,6 +168,9 @@ def lu_solve(lu_and_piv: Tuple[np.ndarray, np.ndarray], b) -> np.ndarray:
         x = x[:, None]
     if x.shape[0] != n:
         raise ValueError(f"rhs rows {x.shape[0]} != matrix size {n}")
+    if _sp_lu_solve is not None:  # LAPACK getrs (same piv convention)
+        out = _sp_lu_solve((lu, np.asarray(piv)), x, check_finite=False)
+        return out[:, 0] if vec else out
     for i in range(n):  # apply pivots in factorization order
         p = piv[i]
         if p != i:
@@ -223,10 +263,18 @@ def cholesky(
             break
         # host f64: panel solve L21 = A21 @ L11^-H  (triangular, O(n*nb^2))
         l21 = a[rest:, j:rest]
-        for i in range(jb):  # forward substitution on columns of L21
-            l21[:, i] = (l21[:, i] - l21[:, :i] @ np.conj(l11[i, :i])) / np.conj(
-                l11[i, i]
-            )
+        if _sp_solve_triangular is not None:
+            # L21 @ L11^H = A21  <=>  L11 @ (L21^H) = A21^H  (BLAS trsm)
+            l21[:] = np.conj(
+                _sp_solve_triangular(
+                    l11, np.conj(l21).T, lower=True, check_finite=False
+                )
+            ).T
+        else:
+            for i in range(jb):  # forward substitution on columns of L21
+                l21[:, i] = (
+                    l21[:, i] - l21[:, :i] @ np.conj(l11[i, :i])
+                ) / np.conj(l11[i, i])
         # engine: trailing Hermitian update A22 -= L21 @ L21^H
         a[rest:, rest:] = gemm(
             np.ascontiguousarray(l21),
@@ -256,6 +304,12 @@ def cho_solve(l: np.ndarray, b) -> np.ndarray:
         x = x[:, None]
     if x.shape[0] != n:
         raise ValueError(f"rhs rows {x.shape[0]} != matrix size {n}")
+    if _sp_solve_triangular is not None:  # two BLAS trsm calls
+        y = _sp_solve_triangular(l, x, lower=True, check_finite=False)
+        out = _sp_solve_triangular(
+            l, y, lower=True, trans="C", check_finite=False
+        )
+        return out[:, 0] if vec else out
     for i in range(n):  # L y = b
         if i:
             x[i, :] -= l[i, :i] @ x[:i, :]

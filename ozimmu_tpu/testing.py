@@ -285,6 +285,7 @@ def sustained_run(
     step(8)
     per_iter = max((time.perf_counter() - c0) / 8, 1e-9)
     chunk = int(min(512, max(8, round(target_chunk_seconds / per_iter))))
+    chunk -= chunk % 8  # keep iteration counts 8-granular (auditable chunks)
     if chunk != 8:
         step(chunk)  # compile the grown chain OUTSIDE the window
 
