@@ -79,10 +79,10 @@ def chain_engine(a_hi, a_lo, b_hi, b_lo, ns, iters, n_chunks):
     return jnp.sum(b_lo.astype(jnp.uint32) & np.uint32(1), dtype=jnp.int32)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def chain_native(a, b, iters):
+@partial(jax.jit, static_argnums=(2, 3))
+def chain_native(a, b, iters, nchunks):
     def body(i, b):
-        if NCHUNKS > 1:
+        if nchunks > 1:
             # block-chunked: XLA's emulated-f64 dot materializes EACH
             # operand as a bf16[4, ., .] expansion (8 GB per full
             # 16384^2 operand), so both sides are sliced — and the block
@@ -90,19 +90,19 @@ def chain_native(a, b, iters):
             # ever live.  Every block's [0,0] element feeds the
             # perturbation, chaining all blocks and iterations causally;
             # full 2mnk FLOPs retained.
-            wm = a.shape[0] // NCHUNKS
-            wn = b.shape[1] // NCHUNKS
+            wm = a.shape[0] // nchunks
+            wn = b.shape[1] // nchunks
 
             def blk(t, s):
-                bi = t // NCHUNKS
-                bj = t % NCHUNKS
+                bi = t // nchunks
+                bj = t % nchunks
                 ai = jax.lax.dynamic_slice_in_dim(a, bi * wm, wm, axis=0)
                 bjp = jax.lax.dynamic_slice_in_dim(b, bj * wn, wn, axis=1)
                 cij = jnp.dot(ai, bjp, preferred_element_type=jnp.float64)
                 return s + cij[0, 0]
 
             s = jax.lax.fori_loop(
-                0, NCHUNKS * NCHUNKS, blk, jnp.zeros((), dtype=jnp.float64)
+                0, nchunks * nchunks, blk, jnp.zeros((), dtype=jnp.float64)
             )
             return b + s * 1e-30
         c = jnp.dot(a, b, preferred_element_type=jnp.float64)
@@ -179,31 +179,61 @@ def main():
     log(f"engine: {per_iter*1e3:.3f} ms/GEMM -> {tflops:.2f} effective FP64 TFLOPS @ {M}^3 ns={NS} n_chunks={nc}")
 
     # --- native f64 baseline ---------------------------------------------
-    if device_gen:
-        genf = jax.jit(
-            lambda k: jax.random.uniform(k, (M, M), dtype=jnp.float64)
-        )
-        k1, k2 = jax.random.split(jax.random.PRNGKey(1))
-        aj = genf(k1)
-        bj = genf(k2)
-        jax.block_until_ready(bj)
-    else:
-        aj = jnp.asarray(a, dtype=jnp.float64)
-        bj = jnp.asarray(b, dtype=jnp.float64)
-    n1 = timed(chain_native, aj, bj, ITERS)
-    n2 = timed(chain_native, aj, bj, 2 * ITERS)
-    native_per_iter = max((n2 - n1) / ITERS, 1e-9)
-    native_tflops = 2 * M**3 / native_per_iter / 1e12
-    log(f"native f64: {native_per_iter*1e3:.3f} ms/GEMM -> {native_tflops:.2f} TFLOPS")
+    # NEVER fatal: the headline JSON line below is emitted whatever happens
+    # here (the reference harness always prints its per-case CSV row,
+    # test/main_test.cu:143-151 — BENCH_r03 died in this section and lost
+    # the round's number).  On failure vs_baseline is null.
+    native_tflops = None
+    try:
+        # free the engine operands first: at M=16384 the F64X bit planes
+        # (2 GiB per operand) plus two f64 operands plus XLA's bf16[4,m,k]
+        # double-float expansion temporaries cannot coexist in 16 GB HBM —
+        # exactly the RESOURCE_EXHAUSTED that killed round 3's run.
+        del ax, bx
+        if device_gen:
+            genf = jax.jit(
+                lambda k: jax.random.uniform(k, (M, M), dtype=jnp.float64)
+            )
+            k1, k2 = jax.random.split(jax.random.PRNGKey(1))
+            aj = genf(k1)
+            bj = genf(k2)
+            jax.block_until_ready(bj)
+        else:
+            aj = jnp.asarray(a, dtype=jnp.float64)
+            bj = jnp.asarray(b, dtype=jnp.float64)
+        # same OOM-retry discipline as the engine loop: the block-chunked
+        # native chain keeps only one block's expansion temps live, and
+        # doubling the block count halves them.  Start unchunked — the
+        # STRONGEST baseline the platform can run (fewer blocks is faster
+        # for the native chain) — independent of the engine's panelling.
+        nc_n = 1
+        while True:
+            try:
+                n1 = timed(chain_native, aj, bj, ITERS, nc_n)
+                n2 = timed(chain_native, aj, bj, 2 * ITERS, nc_n)
+                break
+            except Exception as e:
+                if nc_n >= min(M, 64):
+                    raise
+                log(f"native run failed at n_chunks={nc_n} "
+                    f"({type(e).__name__}); retrying with {2 * nc_n}")
+                nc_n = max(2 * nc_n, 2)
+        native_per_iter = max((n2 - n1) / ITERS, 1e-9)
+        native_tflops = 2 * M**3 / native_per_iter / 1e12
+        log(f"native f64: {native_per_iter*1e3:.3f} ms/GEMM -> "
+            f"{native_tflops:.2f} TFLOPS (n_chunks={nc_n})")
+    except Exception as e:
+        log(f"native baseline unavailable ({type(e).__name__}: {e}); "
+            "emitting vs_baseline null")
 
-    vs = tflops / native_tflops if native_tflops > 0 else 0.0
+    vs = round(tflops / native_tflops, 3) if native_tflops else None
     print(
         json.dumps(
             {
                 "metric": f"fp64_int8_{NS} effective FP64 TFLOPS (m=n=k={M})",
                 "value": round(tflops, 3),
                 "unit": "TFLOPS",
-                "vs_baseline": round(vs, 3),
+                "vs_baseline": vs,
             }
         )
     )
