@@ -4,6 +4,7 @@ import io
 import sys
 
 import numpy as np
+import pytest
 
 from ozimmu_tpu import bench_cli
 from ozimmu_tpu.testing import effective_tflops, generate_input
@@ -20,6 +21,7 @@ class TestBenchCli:
             sys.stdout = old
         return rc, buf.getvalue()
 
+    @pytest.mark.slow
     def test_sweep_csv_schema(self):
         rc, out = self._capture(
             bench_cli.main,
@@ -35,6 +37,7 @@ class TestBenchCli:
         assert float(row[9]) < 1e-15  # residual
         assert float(row[11]) > 0  # tflops measured
 
+    @pytest.mark.slow
     def test_effective_tflops_modes(self):
         a = generate_input("urand01", (64, 64), seed=0)
         b = generate_input("urand01", (64, 64), seed=1)
@@ -44,6 +47,7 @@ class TestBenchCli:
         bz = generate_input("urand01", (64, 64), seed=3, complex_=True)
         assert effective_tflops(az, bz, "fp64_int8_8", 2) > 0
 
+    @pytest.mark.slow
     def test_effective_tflops_rectangular(self):
         # round-1 ADVICE (medium): rectangular shapes crashed the timing
         # chain whenever k > n or k > m (and m != k on the native branch)

@@ -49,6 +49,7 @@ class TestFuzzReal:
         assert num / den < 1e-15, (m, k, n, ns, dist, op_a, op_b, alpha, beta)
 
 
+@pytest.mark.slow
 class TestFuzzTraced:
     """The in-jit functional surface must bit-match the host API for any
     random configuration (CPU backend: both are exact)."""
@@ -105,6 +106,7 @@ class TestFuzzComplexSgemm:
         assert r64 > 1e-10, (m, k, n, r64)  # really demoted
 
 
+@pytest.mark.slow
 class TestFuzzComplex:
     @pytest.mark.parametrize("seed", range(6))
     def test_random_config(self, seed):

@@ -77,6 +77,7 @@ class TestInterception:
             c = np.asarray(jnp.dot(a, a))
         np.testing.assert_array_equal(c, native)
 
+    @pytest.mark.slow
     def test_matmul_and_einsum_covered(self):
         h = oz.create()
         h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 16
@@ -125,6 +126,7 @@ class TestInterception:
         _assert_engine(routed, a, b)
         assert not np.array_equal(routed, native)
 
+    @pytest.mark.slow
     def test_auto_mode_eager(self):
         h = oz.create()
         h.intercept_threshold_m = h.intercept_threshold_n = h.intercept_threshold_k = 16
@@ -134,6 +136,7 @@ class TestInterception:
         err = error_metrics(c, np.asarray(a), np.asarray(b))
         assert err["relative_residual"] < 1e-15
 
+    @pytest.mark.slow
     def test_traced_auto_is_data_driven(self):
         # round-1 VERDICT missing #4: under jit, AUTO must stay live —
         # same compiled graph, phi-dependent split count (reference always
@@ -168,6 +171,7 @@ class TestInterception:
         assert n0 is not None and n3 is not None, (n0, n3)
         assert n0 < n3, f"expected wider data to need more slices: {n0} vs {n3}"
 
+    @pytest.mark.slow
     def test_traced_auto_complex_accuracy(self):
         from ozimmu_tpu.testing import generate_input
 
@@ -191,6 +195,7 @@ class TestInterception:
         _assert_engine(c, a, b)
 
 
+@pytest.mark.slow
 class TestComplexAndBatched:
     def _handle(self):
         h = oz.create()
@@ -367,6 +372,7 @@ class TestTraceCacheSemantics:
         np.testing.assert_allclose(after, np.asarray(a) @ np.asarray(b), rtol=1e-15)
 
 
+@pytest.mark.slow
 class TestComplexAutoUnified:
     """VERDICT r2 item 3: ONE complex-AUTO semantics everywhere.
 

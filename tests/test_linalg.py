@@ -48,9 +48,15 @@ class TestLuFactor:
     def test_block_edge_cases(self):
         rng = np.random.default_rng(2)
         a = rng.uniform(-1, 1, size=(130, 130))  # n not a block multiple
-        for block in (130, 200, 37, 1):
+        for block in (130, 200, 37):
             lu, piv = lu_factor(a, mode="fp64_int8_9", block=block)
             assert _pa_lu_residual(a, lu, piv) < 1e-14, block
+        # block=1 (fully unblocked) on a SMALL matrix: every panel step is
+        # a distinct trailing shape = a distinct XLA compile, so a large n
+        # here costs minutes for no extra coverage
+        a = rng.uniform(-1, 1, size=(13, 13))
+        lu, piv = lu_factor(a, mode="fp64_int8_9", block=1)
+        assert _pa_lu_residual(a, lu, piv) < 1e-14
 
     def test_pivoting_permutation_matrix(self):
         # a matrix that is mostly a permutation forces pivot swaps at
@@ -67,6 +73,7 @@ class TestLuFactor:
         with pytest.raises(np.linalg.LinAlgError):
             lu_factor(a, mode="fp64_int8_9", block=8)
 
+    @pytest.mark.slow
     def test_complex(self):
         rng = np.random.default_rng(4)
         a = rng.normal(size=(160, 160)) + 1j * rng.normal(size=(160, 160))
@@ -76,6 +83,37 @@ class TestLuFactor:
     def test_rejects_non_square(self):
         with pytest.raises(ValueError):
             lu_factor(np.ones((4, 5)), mode="fp64_int8_9")
+
+    def test_scipy_path_active_when_scipy_installed(self):
+        # guards against CI silently exercising only the numpy fallbacks
+        # (ADVICE r3): if scipy is importable, the LAPACK panel/TRSM
+        # bindings must have been picked up at module import
+        import importlib.util
+
+        if importlib.util.find_spec("scipy") is None:
+            pytest.skip("scipy not installed")
+        from ozimmu_tpu import linalg as L
+
+        assert L._sp_lu_factor is not None
+        assert L._sp_solve_triangular is not None
+        assert L._sp_lu_solve is not None
+
+    def test_old_scipy_rectangular_fallback(self, monkeypatch):
+        # scipy < 1.10 raises ValueError on the rectangular panel call;
+        # the numpy loop must take over and produce the same factorization
+        from ozimmu_tpu import linalg as L
+
+        if L._sp_lu_factor is None:
+            pytest.skip("scipy not installed")
+
+        def _old_scipy(x, **kw):
+            raise ValueError("expected square matrix")
+
+        monkeypatch.setattr(L, "_sp_lu_factor", _old_scipy)
+        rng = np.random.default_rng(40)
+        a = rng.uniform(-1, 1, size=(96, 96))
+        lu, piv = lu_factor(a, mode="fp64_int8_9", block=32)
+        assert _pa_lu_residual(a, lu, piv) < 1e-14
 
 
 class TestSolve:
@@ -112,6 +150,7 @@ class TestSolve:
         x = solve(a, b, mode="sgemm", block=64, refine=4)
         assert _solve_residual(a, x, b) < 1e-15
 
+    @pytest.mark.slow
     def test_complex_solve(self):
         rng = np.random.default_rng(8)
         a = rng.normal(size=(128, 128)) + 1j * rng.normal(size=(128, 128))
@@ -146,11 +185,14 @@ class TestCholesky:
     def test_block_edge_cases(self):
         rng = np.random.default_rng(11)
         a = _spd(rng, 130)  # n not a block multiple
-        for block in (130, 200, 37, 1):
+        for block in (130, 200, 37):
             l = cholesky(a, mode="fp64_int8_9", block=block)
             assert (
                 np.linalg.norm(a - l @ l.T) / np.linalg.norm(a) < 1e-14
             ), block
+        a = _spd(rng, 13)  # block=1: one compile per step — keep n tiny
+        l = cholesky(a, mode="fp64_int8_9", block=1)
+        assert np.linalg.norm(a - l @ l.T) / np.linalg.norm(a) < 1e-14
 
     def test_hermitian_complex(self):
         rng = np.random.default_rng(12)

@@ -15,6 +15,10 @@ import sys
 
 import pytest
 
+# subprocess-spawning distributed test: opt-in via the slow marker
+# (VERDICT r3 item 6 — its 840 s ceiling is hostile to the dev loop)
+pytestmark = pytest.mark.slow
+
 _WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)), "mp_worker.py")
 
 

@@ -207,6 +207,7 @@ class TestShardedZgemm:
             c_dist.view(np.complex128), c_local.view(np.complex128)
         )
 
+    @pytest.mark.slow
     def test_complex_alpha_beta_bitwise(self, mesh):
         import ozimmu_tpu as oz
 
@@ -298,6 +299,7 @@ class TestRingZgemm:
             c_ring.view(np.uint64), c_local.view(np.uint64)
         )
 
+    @pytest.mark.slow
     def test_complex_alpha_beta_bitwise_ring(self, square_mesh):
         import ozimmu_tpu as oz
 
@@ -571,6 +573,7 @@ class TestDistributedAuto:
         assert error_metrics(got, a, b)["relative_residual"] < 1e-15
 
 
+@pytest.mark.slow
 class TestKShardedComplex:
     """1D contraction-parallel ZGEMM (sharded_zgemm_k_fn): the complex
     tall-k variant completing the variant matrix."""

@@ -41,6 +41,7 @@ class TestTracedGemm:
             np.asarray(out).view(np.uint64), host.view(np.uint64)
         )
 
+    @pytest.mark.slow
     def test_complex(self):
         a = _mk((24, 32), 5, complex_=True)
         b = _mk((32, 16), 6, complex_=True)
@@ -77,6 +78,7 @@ class TestTracedGemm:
         ref = np.trace(g) + 0.5 * (g @ np.asarray(b))[0, 0]
         np.testing.assert_allclose(float(v), ref, rtol=1e-14)
 
+    @pytest.mark.slow
     def test_vmap_composes(self):
         a, b = _mk((2, 16, 16), 12), _mk((2, 16, 16), 13)
         out = jax.vmap(lambda x, y: traced.gemm(x, y))(a, b)
