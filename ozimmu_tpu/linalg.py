@@ -54,9 +54,22 @@ def _panel_factor(a: np.ndarray, j: int, jb: int, piv: np.ndarray) -> None:
     if _sp_lu_factor is not None:
         import warnings
 
-        with warnings.catch_warnings():
-            warnings.simplefilter("ignore")  # scipy warns on zero pivots;
-            lu, p_loc = _sp_lu_factor(a[j:, j : j + jb], check_finite=False)
+        from scipy.linalg import LinAlgWarning
+
+        try:
+            with warnings.catch_warnings():
+                # scipy warns (only) on singular factors; leave every
+                # other warning alone
+                warnings.simplefilter("ignore", category=LinAlgWarning)
+                lu, p_loc = _sp_lu_factor(
+                    a[j:, j : j + jb], check_finite=False
+                )
+        except ValueError:
+            # scipy < 1.10 rejects rectangular (tall-panel) input with
+            # ValueError('expected square matrix') — fall through to the
+            # numpy panel loop below, which computes the same factorization
+            _numpy_panel_factor(a, j, jb, piv)
+            return
         d = np.diagonal(lu)
         if np.any(d == 0):  # we raise instead (reference getrf info > 0)
             jj = j + int(np.flatnonzero(d == 0)[0])
@@ -70,6 +83,13 @@ def _panel_factor(a: np.ndarray, j: int, jb: int, piv: np.ndarray) -> None:
                 a[[j + i, p], :] = a[[p, j + i], :]
         a[j:, j : j + jb] = lu
         return
+    _numpy_panel_factor(a, j, jb, piv)
+
+
+def _numpy_panel_factor(a: np.ndarray, j: int, jb: int, piv: np.ndarray) -> None:
+    """Pure-numpy unblocked panel factorization (fallback when scipy is
+    absent or too old for rectangular ``lu_factor``)."""
+    n = a.shape[0]
     for jj in range(j, j + jb):
         p = jj + int(np.argmax(np.abs(a[jj:, jj])))
         if a[p, jj] == 0:
