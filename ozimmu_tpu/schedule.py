@@ -174,9 +174,13 @@ def working_set_bytes_chunked(
 
 
 #: default HBM budget (MB) for auto-chunk selection: a 16 GB v5e with
-#: headroom for XLA temporaries/fusion slack.  Override with
+#: headroom for XLA temporaries/fusion slack.  10240 (not 11264) is
+#: measured, not just a fit margin: at 16384^3 ns=9 it selects 8 column
+#: panels over 4, which times FASTER on the chip (7.87 vs 7.75 TFLOPS,
+#: r4; DESIGN §11 measured 7.88-8.30 at 8 panels) while leaving ~6 GB
+#: headroom for whatever else the program holds.  Override with
 #: OZIMMU_HBM_BUDGET_MB (e.g. 90000 on a v5p).
-_DEFAULT_HBM_BUDGET_MB = 11264
+_DEFAULT_HBM_BUDGET_MB = 10240
 
 
 def hbm_budget_bytes() -> int:
