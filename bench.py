@@ -184,6 +184,21 @@ def main():
     # test/main_test.cu:143-151 — BENCH_r03 died in this section and lost
     # the round's number).  On failure vs_baseline is null.
     native_tflops = None
+    if os.environ.get("OZ_BENCH_SKIP_NATIVE") == "1":
+        # tuning runs: engine-only timing, vs_baseline null
+        log("native baseline skipped (OZ_BENCH_SKIP_NATIVE=1)")
+        vs = None
+        print(
+            json.dumps(
+                {
+                    "metric": f"fp64_int8_{NS} effective FP64 TFLOPS (m=n=k={M})",
+                    "value": round(tflops, 3),
+                    "unit": "TFLOPS",
+                    "vs_baseline": vs,
+                }
+            )
+        )
+        return
     try:
         # free the engine operands first: at M=16384 the F64X bit planes
         # (2 GiB per operand) plus two f64 operands plus XLA's bf16[4,m,k]

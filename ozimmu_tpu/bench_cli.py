@@ -349,35 +349,121 @@ def run_power(gemm_kind: str, mode: str, size: int, min_seconds: float) -> int:
     return 0
 
 
-def run_hpl(mode: str, size: int, block: int, refine: int) -> int:
+def run_hpl(
+    mode: str,
+    size: int,
+    block: int,
+    refine: int,
+    device: str = "auto",
+    warmup: bool = False,
+    profile: bool = False,
+) -> int:
     """HPL-class solver benchmark: blocked LU factor + solve on the engine
     (the reference's motivating workload — its shim exists to accelerate
     HPL's dgemm calls, src/cublas.cu:280-295).  Reports factorization
     wall time, effective FP64 GFLOPS at the LU operation count
-    (2/3 n^3), and the final solve residual (scaled, HPL-style)."""
+    (2/3 n^3), and the final solve residual (scaled, HPL-style).
+
+    ``device`` = on|off|auto selects the device-resident factorization
+    (linalg.lu_factor(device=True): trailing matrix stays on device as
+    F64X; auto = on for non-CPU backends).  On the device path the test
+    matrix is generated on device (exact f32->f64 widening, diagonal set
+    to n for a refinement-friendly condition number) and the residual
+    matvecs run through the engine — the matrix never crosses the host
+    boundary.  ``warmup`` runs the factorization once untimed first
+    (pays per-step XLA compiles; the persistent cache keeps them across
+    processes).  ``profile`` adds a per-phase breakdown (syncs at phase
+    boundaries — wall time is then pessimistic; the headline time is
+    always measured unprofiled).
+    """
     import time as _time
+
+    import jax
+    import jax.numpy as jnp
 
     from ozimmu_tpu import linalg
     from ozimmu_tpu.testing import generate_input
 
+    device_resident = device == "on" or (
+        device == "auto" and jax.default_backend() != "cpu"
+    )
     rng_b = np.random.default_rng(99)
-    a = generate_input("urand01", (size, size), seed=0)
-    a = a + size * np.eye(size)  # diagonally dominant: refinement-friendly
     x_true = rng_b.standard_normal(size)
-    b = a @ x_true
 
+    if device_resident:
+        from ozimmu_tpu.core.api import _f64x_to_f32
+        from ozimmu_tpu.core.f64x import F64X, from_f32
+
+        def gen(key):
+            u = jax.random.uniform(key, (size, size), dtype=jnp.float32)
+            idx = jnp.arange(size)
+            # diagonally dominant (refinement-friendly), like the host path
+            u = u.at[idx, idx].set(jnp.float32(size))
+            return from_f32(u)
+
+        ax = jax.jit(gen)(jax.random.PRNGKey(0))
+        jax.block_until_ready(ax.hi)
+        norm_a = float(jnp.linalg.norm(_f64x_to_f32(ax)))
+        # b = A @ x_true through the engine (exact to one f64 rounding)
+        xX = F64X.from_numpy(np.ascontiguousarray(x_true[:, None]))
+        import ozimmu_tpu as oz
+
+        b = oz.gemm(ax, xX, mode="fp64_int8_12").to_numpy().reshape(-1)
+
+        def factor(prof=None):
+            return linalg.lu_factor(
+                ax, mode=mode, block=block, profile=prof
+            )
+
+        a_for_solve = ax
+    else:
+        a = generate_input("urand01", (size, size), seed=0)
+        a = a + size * np.eye(size)  # diagonally dominant
+        norm_a = np.linalg.norm(a)
+        b = a @ x_true
+
+        def factor(prof=None):
+            return linalg.lu_factor(a, mode=mode, block=block)
+
+        a_for_solve = a
+
+    if warmup:
+        fac = factor()
+        del fac
+    phases = {}
     t0 = _time.perf_counter()
-    fac = linalg.lu_factor(a, mode=mode, block=block)
+    fac = factor()
+    if device_resident:
+        jax.block_until_ready(fac[0].hi)
     t_factor = _time.perf_counter() - t0
-    x = linalg.solve(a, b, factor=fac, refine=refine)
-    resid = np.linalg.norm(a @ x - b) / (
-        np.linalg.norm(a) * np.linalg.norm(x) + np.linalg.norm(b)
+    if profile and device_resident:
+        factor(phases)  # second, instrumented pass (syncs per phase)
+
+    x = linalg.solve(a_for_solve, b, factor=fac, refine=refine)
+    if device_resident:
+        rX = oz.gemm(
+            ax,
+            F64X.from_numpy(np.ascontiguousarray(x[:, None])),
+            mode="fp64_int8_12",
+            alpha=-1.0,
+            beta=1.0,
+            c=F64X.from_numpy(np.ascontiguousarray(b[:, None])),
+        )
+        r_vec = rX.to_numpy().reshape(-1)  # b - A @ x
+    else:
+        r_vec = b - a_for_solve @ x
+    resid = np.linalg.norm(r_vec) / (
+        norm_a * np.linalg.norm(x) + np.linalg.norm(b)
     )
     gflops = (2.0 / 3.0) * size**3 / t_factor / 1e9
+    extra = "".join(
+        f",{k}={v:.4e}s" for k, v in sorted(phases.items())
+    )
     print(
         f"hpl,{_device_name()},{mode},n={size},block={block},"
         f"factor_time={t_factor:.4e}s,gflops={gflops:.4g},"
-        f"refine={refine},residual={resid:.4e}",
+        f"refine={refine},residual={resid:.4e},"
+        f"resident={'device' if device_resident else 'host'}{extra}",
         flush=True,
     )
     return 0 if resid < 1e-14 else 1
@@ -428,8 +514,14 @@ def main(argv=None) -> int:
         q.add_argument("size", nargs="?", type=int, default=4096)
         q.add_argument("--block", type=int, default=1024)
         q.add_argument("--refine", type=int, default=0)
+        q.add_argument("--device", default="auto", choices=["auto", "on", "off"])
+        q.add_argument("--warmup", action="store_true")
+        q.add_argument("--profile", action="store_true")
         ar = q.parse_args(argv)
-        return run_hpl(ar.mode, ar.size, ar.block, ar.refine)
+        return run_hpl(
+            ar.mode, ar.size, ar.block, ar.refine,
+            device=ar.device, warmup=ar.warmup, profile=ar.profile,
+        )
     if argv and argv[0] == "power":
         q = argparse.ArgumentParser()
         q.add_argument("cmd")
