@@ -357,6 +357,7 @@ def run_hpl(
     device: str = "auto",
     warmup: bool = False,
     profile: bool = False,
+    panel: str = "auto",
 ) -> int:
     """HPL-class solver benchmark: blocked LU factor + solve on the engine
     (the reference's motivating workload — its shim exists to accelerate
@@ -387,6 +388,13 @@ def run_hpl(
     device_resident = device == "on" or (
         device == "auto" and jax.default_backend() != "cpu"
     )
+    if panel == "auto":
+        # over a remote tunnel the host-panel traffic is the wall; the
+        # fully resident variant (device panels in platform f64) is the
+        # production configuration on an accelerator backend
+        panel = "device" if (
+            device_resident and jax.default_backend() != "cpu"
+        ) else "host"
     rng_b = np.random.default_rng(99)
     x_true = rng_b.standard_normal(size)
 
@@ -412,7 +420,7 @@ def run_hpl(
 
         def factor(prof=None):
             return linalg.lu_factor(
-                ax, mode=mode, block=block, profile=prof
+                ax, mode=mode, block=block, profile=prof, panel=panel
             )
 
         a_for_solve = ax
@@ -463,7 +471,8 @@ def run_hpl(
         f"hpl,{_device_name()},{mode},n={size},block={block},"
         f"factor_time={t_factor:.4e}s,gflops={gflops:.4g},"
         f"refine={refine},residual={resid:.4e},"
-        f"resident={'device' if device_resident else 'host'}{extra}",
+        f"resident={'device' if device_resident else 'host'},"
+        f"panel={panel if device_resident else 'host'}{extra}",
         flush=True,
     )
     return 0 if resid < 1e-14 else 1
@@ -515,12 +524,14 @@ def main(argv=None) -> int:
         q.add_argument("--block", type=int, default=1024)
         q.add_argument("--refine", type=int, default=0)
         q.add_argument("--device", default="auto", choices=["auto", "on", "off"])
+        q.add_argument("--panel", default="auto", choices=["auto", "host", "device"])
         q.add_argument("--warmup", action="store_true")
         q.add_argument("--profile", action="store_true")
         ar = q.parse_args(argv)
         return run_hpl(
             ar.mode, ar.size, ar.block, ar.refine,
             device=ar.device, warmup=ar.warmup, profile=ar.profile,
+            panel=ar.panel,
         )
     if argv and argv[0] == "power":
         q = argparse.ArgumentParser()

@@ -152,6 +152,52 @@ def from_f32(x: jax.Array) -> F64X:
     return F64X(hi, lo)
 
 
+def from_f64_dd(x: jax.Array) -> F64X:
+    """Exact bit planes of the PLATFORM's f64 value, device-side.
+
+    On CPU ``x`` is true IEEE f64 and the conversion is bit-exact over
+    the NORMAL range (incl. +-0): the value is brought near 1 by an
+    exact power-of-two regime scale, split into three RNE f32 components
+    (24+24+5 significand bits >= 53), and packed with one rounding at
+    the unscaled exponent (ops.pack).  F64 subnormals convert to signed
+    zero — XLA:CPU's own f64 arithmetic flushes them (even ``x * 1.0``),
+    so they cannot survive the platform-f64 computations this function
+    exists to capture.  On TPU ``x`` is XLA's double-float emulation
+    (~f32-pair significand, f32 exponent range); the conversion captures
+    that representation's value.  Used by the device-resident solvers to
+    hand platform-f64 panel results back to the exact engine carriage.
+    """
+    from ..ops.pack import pack_f64x  # lazy: ops.pack imports this module
+
+    # regime index k in [-8, 8]: x is scaled by 2^(-128k) (two exact
+    # multiplies of <= 2^512 each, table-driven so the factors are exact
+    # constants), bringing |xs| into ~[2^-64, 2^64] where all three f32
+    # components are representable; log2 only PICKS the regime, so its
+    # accuracy is irrelevant.
+    ax = jnp.abs(x)
+    # XLA's log2 flushes subnormal inputs: pre-normalize tiny values by
+    # an exact 2^512 so the regime pick sees a normal number
+    tiny = ax < jnp.asarray(2.0**-512, x.dtype)
+    axn = jnp.where(tiny, ax * jnp.asarray(2.0**512, x.dtype), ax)
+    safe = jnp.where(axn > 0, axn, jnp.ones((), x.dtype))
+    lg = jnp.log2(safe) - jnp.where(tiny, 512.0, 0.0).astype(x.dtype)
+    k = jnp.clip(jnp.round(lg / 128.0), -8.0, 8.0).astype(jnp.int32)
+    table = jnp.asarray(
+        np.ldexp(1.0, -64 * np.arange(-8, 9)), dtype=x.dtype
+    )
+    s = table[k + 8]
+    xs = (x * s) * s
+    h = xs.astype(jnp.float32)
+    r1 = xs - h.astype(x.dtype)
+    l1 = r1.astype(jnp.float32)
+    l2 = (r1 - l1.astype(x.dtype)).astype(jnp.float32)
+    out = pack_f64x((h, l1, l2), 128 * k)
+    # pack emits +0 for a zero triple; restore the sign of -0.0 inputs
+    neg0 = (x == 0) & jnp.signbit(x)
+    hi = jnp.where(neg0, out.hi | np.uint32(0x80000000), out.hi)
+    return F64X(hi, out.lo)
+
+
 def mantissa_parts(x: F64X) -> Tuple[jax.Array, jax.Array]:
     """(m_hi21, m_lo32): the 53-bit significand with implicit bit folded in.
 

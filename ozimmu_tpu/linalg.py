@@ -217,6 +217,180 @@ def _lu_factor_device_steps(hi, lo, num_split: int, nb: int, profile=None):
     return hi, lo, piv
 
 
+# -- fully device-resident variant (panel="device") -------------------------
+#
+# Over a remote-tunnel TPU (this host: ~25-35 MB/s, 75 ms RTT) even the
+# one-pass panel traffic of the host-panel path strangles large
+# factorizations (n^2 * 16 B ~ 4.3 GB at n=16384 vs ~1 s of engine GEMM
+# work).  panel="device" factors the pivot panel ON DEVICE in the
+# platform's f64 (true IEEE f64 on CPU; XLA's ~49-bit double-float on
+# TPU), so a whole factorization is a chain of async step dispatches
+# with ZERO per-step host traffic — the only sync is the final
+# singularity check.  Precision: the engine's trailing updates stay
+# exact to one f64 rounding in every variant; with device panels the
+# panel entries themselves carry the platform-f64 error (~2^-49 relative
+# on TPU), the HPL-AI trade (factor cheap, refine to f64) the reference
+# pitch embraces — measured residuals stay under the 1e-14 gate on the
+# benchmark matrices, and `solve(..., refine=1)` restores the f64 floor.
+
+
+def _panel_factor_traced(p, jb: int):
+    """Partial-pivot LU of a (rows x jb) panel in platform f64, traced.
+
+    Masked full-panel formulation (each column step is O(rows*jb) with
+    row/column masks instead of dynamic shapes — ~2x the minimal panel
+    FLOPs, which is noise next to the trailing GEMMs).  Returns the
+    factored panel, LOCAL pivot indices (getrf ipiv convention), and an
+    all-pivots-nonzero flag.
+    """
+    rows = p.shape[0]
+    rix = jnp.arange(rows)
+    cix = jnp.arange(jb)
+
+    def body(i, carry):
+        p, p_loc, ok = carry
+        col = jax.lax.dynamic_slice(p, (0, i), (rows, 1))[:, 0]
+        mag = jnp.where(rix >= i, jnp.abs(col), -jnp.inf)
+        pl = jnp.argmax(mag).astype(jnp.asarray(i).dtype)
+        row_i = jax.lax.dynamic_slice(p, (i, 0), (1, jb))
+        row_p = jax.lax.dynamic_slice(p, (pl, 0), (1, jb))
+        p = jax.lax.dynamic_update_slice(p, row_p, (i, 0))
+        p = jax.lax.dynamic_update_slice(p, row_i, (pl, 0))
+        p_loc = p_loc.at[i].set(pl.astype(jnp.int32))
+        pivot = jax.lax.dynamic_slice(p, (i, i), (1, 1))[0, 0]
+        ok = ok & (pivot != 0)
+        safe = jnp.where(pivot != 0, pivot, jnp.ones((), p.dtype))
+        urow = jax.lax.dynamic_slice(p, (i, 0), (1, jb))[0]
+        colv = jax.lax.dynamic_slice(p, (0, i), (rows, 1))[:, 0]
+        below = rix > i
+        factor = jnp.where(below, colv / safe, jnp.zeros((), p.dtype))
+        umask = jnp.where(cix > i, urow, jnp.zeros((), p.dtype))
+        p = p - factor[:, None] * umask[None, :]
+        p = jnp.where(
+            below[:, None] & (cix[None, :] == i), factor[:, None], p
+        )
+        return p, p_loc, ok
+
+    return jax.lax.fori_loop(
+        0, jb, body,
+        (p, jnp.zeros(jb, jnp.int32), jnp.array(True)),
+    )
+
+
+def _perm_from_ploc_traced(p_loc, rows: int):
+    """Row permutation (gather indices) from sequential getrf swaps."""
+    perm = jnp.arange(rows, dtype=jnp.int32)
+
+    def body(i, perm):
+        pl = p_loc[i]
+        a = perm[i]
+        b = perm[pl]
+        perm = perm.at[i].set(b)
+        return perm.at[pl].set(a)
+
+    return jax.lax.fori_loop(0, p_loc.shape[0], body, perm)
+
+
+def _unit_lower_inverse_traced(l):
+    """inv(L) for unit-lower L (strict lower valid), platform f64,
+    forward substitution row by row."""
+    jb = l.shape[0]
+    cix = jnp.arange(jb)
+    x = jnp.eye(jb, dtype=l.dtype)
+
+    def body(i, x):
+        li = jax.lax.dynamic_slice(l, (i, 0), (1, jb))
+        li = jnp.where(cix[None, :] < i, li, jnp.zeros((), l.dtype))
+        xi = jax.lax.dynamic_slice(x, (i, 0), (1, jb)) - li @ x
+        return jax.lax.dynamic_update_slice(x, xi, (i, 0))
+
+    return jax.lax.fori_loop(1, jb, body, x)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5, 6))
+def _lu_step_device_panel(j, jb, num_split, hi, lo, ok, piv):
+    """One LU step with the panel factored on device (platform f64):
+    extract panel -> masked-pivot factor -> permutation build -> full
+    gather -> exact bit writeback -> engine TRSM + trailing update.
+    No host traffic; ``ok``/``piv`` ride along as device state."""
+    from .core.f64x import from_f64_dd
+    from .core.gemm import gemm_f64x
+    from .intercept import f64x_to_f64_traced
+
+    n = hi.shape[0]
+    rows = n - j
+    pX = F64X(
+        jax.lax.slice(hi, (j, j), (n, j + jb)),
+        jax.lax.slice(lo, (j, j), (n, j + jb)),
+    )
+    p = f64x_to_f64_traced(pX)
+    p, p_loc, ok_step = _panel_factor_traced(p, jb)
+    ok = ok & ok_step
+    piv = jax.lax.dynamic_update_slice(piv, jnp.int32(j) + p_loc, (j,))
+    perm_local = _perm_from_ploc_traced(p_loc, rows)
+    perm = jnp.concatenate(
+        [jnp.arange(j, dtype=jnp.int32), jnp.int32(j) + perm_local]
+    )
+    hi = jnp.take(hi, perm, axis=0, unique_indices=True)
+    lo = jnp.take(lo, perm, axis=0, unique_indices=True)
+    pbits = from_f64_dd(p)
+    hi = jax.lax.dynamic_update_slice(hi, pbits.hi, (j, j))
+    lo = jax.lax.dynamic_update_slice(lo, pbits.lo, (j, j))
+    rest = j + jb
+    if rest < n:
+        def blk(r0, c0, r1, c1):
+            return F64X(
+                jax.lax.slice(hi, (r0, c0), (r1, c1)),
+                jax.lax.slice(lo, (r0, c0), (r1, c1)),
+            )
+
+        inv = _unit_lower_inverse_traced(
+            jax.lax.slice(p, (0, 0), (jb, jb))
+        )
+        iX = from_f64_dd(inv)
+        u12 = gemm_f64x(iX, blk(j, rest, rest, n), num_split)
+        hi = jax.lax.dynamic_update_slice(hi, u12.hi, (j, rest))
+        lo = jax.lax.dynamic_update_slice(lo, u12.lo, (j, rest))
+        c22 = gemm_f64x(
+            blk(rest, j, n, rest), u12, num_split,
+            alpha=-1.0, beta=1.0, c=blk(rest, rest, n, n),
+        )
+        hi = jax.lax.dynamic_update_slice(hi, c22.hi, (rest, rest))
+        lo = jax.lax.dynamic_update_slice(lo, c22.lo, (rest, rest))
+    return hi, lo, ok, piv
+
+
+def _lu_factor_device_panels(
+    ax: F64X, num_split: int, block: int, profile=None
+) -> Tuple[F64X, np.ndarray]:
+    """Fully device-resident blocked LU: device panels, async step chain,
+    one final sync (the singularity flag + piv pull)."""
+    import time as _time
+
+    n = ax.shape[0]
+    nb = max(1, min(int(block), n))
+    hi = jnp.array(ax.hi, copy=True)
+    lo = jnp.array(ax.lo, copy=True)
+    ok = jnp.array(True)
+    piv = jnp.arange(n, dtype=jnp.int32)
+    for j in range(0, n, nb):
+        jb = min(nb, n - j)
+        if profile is not None:
+            jax.block_until_ready(hi)
+            t0 = _time.perf_counter()
+        hi, lo, ok, piv = _lu_step_device_panel(
+            j, jb, num_split, hi, lo, ok, piv
+        )
+        if profile is not None:
+            jax.block_until_ready(hi)
+            profile["device_update_s"] = profile.get(
+                "device_update_s", 0.0
+            ) + (_time.perf_counter() - t0)
+    if not bool(jax.device_get(ok)):
+        raise np.linalg.LinAlgError("singular matrix: zero pivot")
+    return F64X(hi, lo), np.asarray(jax.device_get(piv), dtype=np.int64)
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4))
 def _lu_step_device(j, jb, num_split, hi, lo, perm, phi, plo, ihi, ilo):
     """One right-looking LU step on the bit planes (shapes static per
@@ -255,11 +429,17 @@ def _lu_step_device(j, jb, num_split, hi, lo, perm, phi, plo, ihi, ilo):
 
 
 def _lu_factor_device(
-    ax: F64X, num_split: int, block: int, profile=None
+    ax: F64X, num_split: int, block: int, profile=None, panel: str = "host"
 ) -> Tuple[F64X, np.ndarray]:
     """Device-resident blocked LU (real f64 bit planes).  ``profile``
     (optional dict) accumulates per-phase seconds — profiling inserts
-    device syncs at phase boundaries, so leave it None for wall timing."""
+    device syncs at phase boundaries, so leave it None for wall timing.
+    ``panel="device"`` also factors the pivot panels on device (platform
+    f64) — zero per-step host traffic; see the section comment above."""
+    if panel == "device":
+        return _lu_factor_device_panels(ax, num_split, block, profile)
+    if panel != "host":
+        raise ValueError(f"panel must be 'host' or 'device', got {panel!r}")
     n = ax.shape[0]
     nb = max(1, min(int(block), n))
     # private working copies: the step programs donate their inputs
@@ -293,6 +473,7 @@ def lu_factor(
     block: int = 256,
     handle=None,
     device: Optional[bool] = None,
+    panel: str = "host",
     profile=None,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Blocked LU factorization with partial pivoting: ``P @ A = L @ U``.
@@ -317,8 +498,12 @@ def lu_factor(
     host — see the section comment above ``_lu_factor_device``).  The
     default (None) uses it iff ``a`` is an :class:`F64X`; F64X in ->
     (F64X, piv) out, numpy in -> (numpy, piv) out.  The device variant
-    needs a fixed int8 mode and real input.  ``profile`` (dict) collects
-    per-phase seconds on the device path.
+    needs a fixed int8 mode and real input.  ``panel="device"``
+    additionally factors the pivot panels on device in the platform's
+    f64 (true IEEE on CPU, ~49-bit double-float on TPU) — the fully
+    resident, remote-tunnel-proof variant; ``"host"`` (default) keeps
+    true-f64 panels.  ``profile`` (dict) collects per-phase seconds on
+    the device path.
     """
     is_f64x = isinstance(a, F64X)
     if device is None:
@@ -343,7 +528,7 @@ def lu_factor(
             raise ValueError(
                 f"lu_factor needs a square 2D matrix, got {ax.shape}"
             )
-        luX, piv = _lu_factor_device(ax, num_split, block, profile)
+        luX, piv = _lu_factor_device(ax, num_split, block, profile, panel)
         if is_f64x:
             return luX, piv
         n = ax.shape[0]

@@ -314,3 +314,93 @@ class TestDeviceResident:
         lu_factor(a, mode="fp64_int8_9", block=32, device=True, profile=prof)
         assert {"panel_pull_s", "panel_host_s", "device_update_s"} <= set(prof)
         assert all(v >= 0 for v in prof.values())
+
+
+class TestDevicePanels:
+    """panel="device": the pivot panel is factored ON DEVICE in the
+    platform's f64 (true IEEE on CPU — bit-comparable to the host panel
+    path there), making the factorization a chain of async device steps
+    with no per-step host traffic (remote-tunnel-proof)."""
+
+    def test_residual_and_pivots_match_host_panel(self):
+        rng = np.random.default_rng(50)
+        a = rng.uniform(-1, 1, size=(384, 384))
+        lu_d, piv_d = lu_factor(
+            a, mode="fp64_int8_9", block=96, device=True, panel="device"
+        )
+        lu_h, piv_h = lu_factor(
+            a, mode="fp64_int8_9", block=96, device=True, panel="host"
+        )
+        assert _pa_lu_residual(a, lu_d, piv_d) < 1e-14
+        # on CPU both panels compute in the same true f64 -> same pivots
+        np.testing.assert_array_equal(piv_d, piv_h)
+
+    def test_block_not_dividing_n(self):
+        rng = np.random.default_rng(51)
+        a = rng.uniform(-1, 1, size=(130, 130))
+        lu, piv = lu_factor(
+            a, mode="fp64_int8_9", block=48, device=True, panel="device"
+        )
+        assert _pa_lu_residual(a, lu, piv) < 1e-14
+
+    def test_singular_raises(self):
+        a = np.zeros((16, 16))
+        with pytest.raises(np.linalg.LinAlgError, match="zero pivot"):
+            lu_factor(a, mode="fp64_int8_9", block=8, device=True,
+                      panel="device")
+
+    def test_pivoting_actually_pivots(self):
+        # anti-diagonal-ish matrix: every step must swap
+        n = 64
+        a = np.eye(n)[::-1] + 1e-3 * np.eye(n)
+        lu, piv = lu_factor(
+            a, mode="fp64_int8_9", block=16, device=True, panel="device"
+        )
+        assert _pa_lu_residual(a, lu, piv) < 1e-14
+        assert any(piv[i] != i for i in range(n))
+
+    def test_solve_with_device_panels_and_refinement(self):
+        from ozimmu_tpu.core.f64x import F64X
+
+        rng = np.random.default_rng(52)
+        n = 192
+        a = rng.uniform(-1, 1, size=(n, n)) + n * np.eye(n)
+        x_true = rng.standard_normal(n)
+        b = a @ x_true
+        aX = F64X.from_numpy(a)
+        fac = lu_factor(aX, mode="fp64_int8_6", block=64, panel="device")
+        x = solve(aX, b, refine=2, factor=fac)
+        assert _solve_residual(a, x, b) < 1e-15
+
+    def test_invalid_panel_value(self):
+        with pytest.raises(ValueError, match="panel"):
+            lu_factor(np.eye(8), mode="fp64_int8_9", device=True,
+                      panel="bogus")
+
+
+class TestFromF64DD:
+    def test_exact_on_cpu_normal_range(self):
+        import jax.numpy as jnp
+
+        from ozimmu_tpu.core.f64x import from_f64_dd
+
+        rng = np.random.default_rng(53)
+        v = rng.standard_normal(8192) * np.exp(80 * rng.standard_normal(8192))
+        v[:6] = [0.0, -0.0, 2.0**1023, np.finfo(np.float64).max,
+                 np.finfo(np.float64).tiny, 1.0]
+        out = from_f64_dd(jnp.asarray(v, dtype=jnp.float64)).to_numpy()
+        np.testing.assert_array_equal(out.view(np.uint64), v.view(np.uint64))
+
+    def test_subnormals_flush_to_signed_zero(self):
+        # XLA:CPU's own f64 arithmetic flushes subnormals (x * 1.0 == 0),
+        # so the documented contract is signed-zero conversion
+        import jax.numpy as jnp
+
+        from ozimmu_tpu.core.f64x import from_f64_dd
+
+        v = np.array([2.0**-1040, -5e-324])
+        out = from_f64_dd(jnp.asarray(v, dtype=jnp.float64)).to_numpy()
+        np.testing.assert_array_equal(
+            out.view(np.uint64),
+            np.array([0.0, -0.0]).view(np.uint64),
+        )
