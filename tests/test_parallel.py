@@ -378,6 +378,91 @@ class TestLaunchHelpers:
         assert m.devices.size == len(jax.devices())
         assert m.devices.shape == make_mesh_2d().devices.shape
 
+    class _FakeTopoDevice:
+        """Wrap a real device, overriding topology attributes.
+
+        Lets the multislice / multi-process granule branches of
+        make_mesh_2d_hybrid run in-process: mesh_utils groups by
+        device.slice_index (or .process_index) and Mesh only needs
+        hashable device-like objects, so a delegating wrapper with a
+        fake attribute exercises the real grouping code end-to-end.
+        """
+
+        def __init__(self, dev, *, slice_index=None, process_index=None):
+            self._dev = dev
+            # identity must include the fake topology: jax.sharding.Mesh
+            # caches constructed meshes by device equality, so two tests
+            # wrapping the SAME devices with different fake attributes
+            # would otherwise get each other's cached mesh
+            self._fake = (slice_index, process_index)
+            if slice_index is not None:
+                self.slice_index = slice_index
+            if process_index is not None:
+                self.process_index = process_index
+
+        def __getattr__(self, name):
+            return getattr(self._dev, name)
+
+        def __repr__(self):  # pragma: no cover - debugging aid
+            return f"FakeTopo({self._dev!r}, {self._fake})"
+
+        def __hash__(self):
+            return hash((self._dev, self._fake))
+
+        def __eq__(self, other):
+            return (
+                self._dev == getattr(other, "_dev", other)
+                and self._fake == getattr(other, "_fake", self._fake)
+            )
+
+    def test_hybrid_mesh_multislice_granule(self, monkeypatch):
+        """len(slice_ids) > 1 branch: slices (not processes) are the DCN
+        granule, each slice's devices a contiguous ICI block on the x axis."""
+        from ozimmu_tpu.parallel.launch import make_mesh_2d_hybrid
+
+        real = jax.devices()
+        if len(real) < 8:
+            pytest.skip("needs 8 virtual devices")
+        wrapped = [
+            self._FakeTopoDevice(d, slice_index=i // 4)
+            for i, d in enumerate(real[:8])
+        ]
+        monkeypatch.setattr(jax, "devices", lambda *a, **k: wrapped)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+        m = make_mesh_2d_hybrid()
+        # 2 slices x 4 local devices, local block 2x2 -> (4, 2) mesh with
+        # the slice dimension OUTER on x
+        assert m.devices.shape == (4, 2)
+        slice_of = np.vectorize(lambda d: d.slice_index)(m.devices)
+        assert (slice_of[:2] == 0).all() and (slice_of[2:] == 1).all()
+
+        # dcn_axis="y": the slice cut moves to the y axis
+        m2 = make_mesh_2d_hybrid(dcn_axis="y")
+        assert m2.devices.shape == (2, 4)
+        slice_of2 = np.vectorize(lambda d: d.slice_index)(m2.devices)
+        assert (slice_of2[:, :2] == 0).all() and (slice_of2[:, 2:] == 1).all()
+
+    def test_hybrid_mesh_process_granule(self, monkeypatch):
+        """Single-slice multi-process branch: the process is the granule
+        (same layout law, grouped by process_index)."""
+        from ozimmu_tpu.parallel.launch import make_mesh_2d_hybrid
+
+        real = jax.devices()
+        if len(real) < 8:
+            pytest.skip("needs 8 virtual devices")
+        wrapped = [
+            self._FakeTopoDevice(d, process_index=i // 4)
+            for i, d in enumerate(real[:8])
+        ]
+        monkeypatch.setattr(jax, "devices", lambda *a, **k: wrapped)
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+
+        m = make_mesh_2d_hybrid()
+        assert m.devices.shape == (4, 2)
+        proc_of = np.vectorize(lambda d: d.process_index)(m.devices)
+        assert (proc_of[:2] == 0).all() and (proc_of[2:] == 1).all()
+
     def test_dcn_axis_for(self):
         from ozimmu_tpu.parallel.launch import dcn_axis_for
 
