@@ -488,6 +488,13 @@ def main(argv=None) -> int:
         # the config setting — the env var alone still dials the tunnel
         jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_enable_x64", True)
+    # persistent compile cache: hpl factorizations compile one large
+    # engine program per (j, jb) outer step — cache them across runs
+    # (same setup as bench.py / tools/*)
+    jax.config.update(
+        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/ozimmu_jax")
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if argv is None:
         argv = sys.argv[1:]

@@ -234,46 +234,142 @@ def _lu_factor_device_steps(hi, lo, num_split: int, nb: int, profile=None):
 # benchmark matrices, and `solve(..., refine=1)` restores the f64 floor.
 
 
-def _panel_factor_traced(p, jb: int):
-    """Partial-pivot LU of a (rows x jb) panel in platform f64, traced.
+_PANEL_BASE = 16  # base-case width of the recursive panel factorization
 
-    Masked full-panel formulation (each column step is O(rows*jb) with
-    row/column masks instead of dynamic shapes — ~2x the minimal panel
-    FLOPs, which is noise next to the trailing GEMMs).  Returns the
-    factored panel, LOCAL pivot indices (getrf ipiv convention), and an
-    all-pivots-nonzero flag.
+
+def _panel_base_traced(ps, i0: int, ok):
+    """Masked partial-pivot LU of a narrow (rows x w) column slice whose
+    absolute panel columns are ``i0 .. i0+w``.  One fori_loop step per
+    column, touching only the w-wide slice (the full-panel variant this
+    replaced rewrote all of ``p`` per column — O(rows*jb) HBM traffic per
+    column, the wall at HPL sizes).  Row swaps stay INSIDE the slice; the
+    caller propagates them to sibling columns (getrf laswp).  Returns the
+    factored slice, ABSOLUTE pivot rows (getrf ipiv), and the ok flag.
     """
-    rows = p.shape[0]
+    rows, w = ps.shape
     rix = jnp.arange(rows)
-    cix = jnp.arange(jb)
+    cix = jnp.arange(w)
 
-    def body(i, carry):
-        p, p_loc, ok = carry
-        col = jax.lax.dynamic_slice(p, (0, i), (rows, 1))[:, 0]
+    def body(t, carry):
+        ps, p_loc, ok = carry
+        i = i0 + t  # absolute panel column = absolute pivot-search floor
+        col = jax.lax.dynamic_slice(ps, (0, t), (rows, 1))[:, 0]
         mag = jnp.where(rix >= i, jnp.abs(col), -jnp.inf)
-        pl = jnp.argmax(mag).astype(jnp.asarray(i).dtype)
-        row_i = jax.lax.dynamic_slice(p, (i, 0), (1, jb))
-        row_p = jax.lax.dynamic_slice(p, (pl, 0), (1, jb))
-        p = jax.lax.dynamic_update_slice(p, row_p, (i, 0))
-        p = jax.lax.dynamic_update_slice(p, row_i, (pl, 0))
-        p_loc = p_loc.at[i].set(pl.astype(jnp.int32))
-        pivot = jax.lax.dynamic_slice(p, (i, i), (1, 1))[0, 0]
+        pl = jnp.argmax(mag).astype(jnp.asarray(t).dtype)
+        row_i = jax.lax.dynamic_slice(ps, (i, 0), (1, w))
+        row_p = jax.lax.dynamic_slice(ps, (pl, 0), (1, w))
+        ps = jax.lax.dynamic_update_slice(ps, row_p, (i, 0))
+        ps = jax.lax.dynamic_update_slice(ps, row_i, (pl, 0))
+        p_loc = p_loc.at[t].set(pl.astype(jnp.int32))
+        pivot = jax.lax.dynamic_slice(ps, (i, t), (1, 1))[0, 0]
         ok = ok & (pivot != 0)
-        safe = jnp.where(pivot != 0, pivot, jnp.ones((), p.dtype))
-        urow = jax.lax.dynamic_slice(p, (i, 0), (1, jb))[0]
-        colv = jax.lax.dynamic_slice(p, (0, i), (rows, 1))[:, 0]
+        safe = jnp.where(pivot != 0, pivot, jnp.ones((), ps.dtype))
+        urow = jax.lax.dynamic_slice(ps, (i, 0), (1, w))[0]
+        colv = jax.lax.dynamic_slice(ps, (0, t), (rows, 1))[:, 0]
         below = rix > i
-        factor = jnp.where(below, colv / safe, jnp.zeros((), p.dtype))
-        umask = jnp.where(cix > i, urow, jnp.zeros((), p.dtype))
-        p = p - factor[:, None] * umask[None, :]
-        p = jnp.where(
-            below[:, None] & (cix[None, :] == i), factor[:, None], p
+        factor = jnp.where(below, colv / safe, jnp.zeros((), ps.dtype))
+        umask = jnp.where(cix > t, urow, jnp.zeros((), ps.dtype))
+        ps = ps - factor[:, None] * umask[None, :]
+        ps = jnp.where(
+            below[:, None] & (cix[None, :] == t), factor[:, None], ps
         )
-        return p, p_loc, ok
+        return ps, p_loc, ok
 
     return jax.lax.fori_loop(
-        0, jb, body,
-        (p, jnp.zeros(jb, jnp.int32), jnp.array(True)),
+        0, w, body, (ps, jnp.zeros(w, jnp.int32), ok)
+    )
+
+
+def _swap_perm_traced(p_loc, rows: int, i0: int):
+    """Row-gather indices for the sequential getrf swaps ``i0+t <->
+    p_loc[t]`` (absolute rows), applied in factorization order."""
+    perm = jnp.arange(rows, dtype=jnp.int32)
+
+    def body(t, perm):
+        i = i0 + t
+        pl = p_loc[t]
+        a = perm[i]
+        b = perm[pl]
+        perm = perm.at[i].set(b)
+        return perm.at[pl].set(a)
+
+    return jax.lax.fori_loop(0, p_loc.shape[0], body, perm)
+
+
+def _unit_lower_solve_traced(l, b, base: int = _PANEL_BASE):
+    """X = L^-1 @ B with L unit lower triangular (strict lower valid),
+    recursive block forward substitution (GEMM-rich, log depth)."""
+    w = l.shape[0]
+    if w <= base:
+        return _unit_lower_inverse_traced(l, base) @ b
+    wl = w // 2
+    x1 = _unit_lower_solve_traced(l[:wl, :wl], b[:wl], base)
+    b2 = b[wl:] - l[wl:, :wl] @ x1
+    x2 = _unit_lower_solve_traced(l[wl:, wl:], b2, base)
+    return jnp.concatenate([x1, x2], axis=0)
+
+
+def _panel_factor_traced(p, jb: int, base: int = _PANEL_BASE):
+    """Partial-pivot LU of a (rows x jb) panel in platform f64, traced.
+
+    Recursive blocked formulation (LAPACK getrf recursion): factor the
+    left half, propagate its row swaps to the right half (one gather),
+    TRSM + rank-wl update on the right half (platform-f64 matmuls), then
+    recurse right and propagate ITS swaps back to the left columns.  The
+    sequential inner loops only ever touch a ``base``-wide slice, so the
+    panel's HBM traffic is O(rows*jb*log) + O(rows*base) per column
+    instead of the flat masked loop's O(rows*jb) per column.  Returns
+    the factored panel, LOCAL pivot indices (getrf ipiv convention,
+    absolute within the panel), and an all-pivots-nonzero flag.
+    """
+    rows = p.shape[0]
+
+    def rec(p, p_loc, ok, c0: int, w: int):
+        # contract: factors columns [c0, c0+w), swaps applied to those
+        # columns only; records absolute pivot rows in p_loc[c0:c0+w]
+        if w <= base:
+            ps = jax.lax.slice(p, (0, c0), (rows, c0 + w))
+            ps, pl, ok = _panel_base_traced(ps, c0, ok)
+            p = jax.lax.dynamic_update_slice(p, ps, (0, c0))
+            p_loc = jax.lax.dynamic_update_slice(p_loc, pl, (c0,))
+            return p, p_loc, ok
+        wl = w // 2
+        wr = w - wl
+        p, p_loc, ok = rec(p, p_loc, ok, c0, wl)
+        # left's swaps -> right columns
+        perm = _swap_perm_traced(
+            jax.lax.slice(p_loc, (c0,), (c0 + wl,)), rows, c0
+        )
+        right = jax.lax.slice(p, (0, c0 + wl), (rows, c0 + w))
+        right = jnp.take(right, perm, axis=0, unique_indices=True)
+        # TRSM: U12 = L11^-1 @ A12
+        l11 = jax.lax.slice(p, (c0, c0), (c0 + wl, c0 + wl))
+        u12 = _unit_lower_solve_traced(
+            l11, jax.lax.slice(right, (c0, 0), (c0 + wl, wr)), base
+        )
+        right = jax.lax.dynamic_update_slice(right, u12, (c0, 0))
+        # rank-wl update: A22 -= L21 @ U12
+        l21 = jax.lax.slice(p, (c0 + wl, c0), (rows, c0 + wl))
+        a22 = jax.lax.slice(right, (c0 + wl, 0), (rows, wr)) - l21 @ u12
+        right = jax.lax.dynamic_update_slice(right, a22, (c0 + wl, 0))
+        p = jax.lax.dynamic_update_slice(p, right, (0, c0 + wl))
+        p, p_loc, ok = rec(p, p_loc, ok, c0 + wl, wr)
+        # right's swaps -> left columns (only rows >= c0+wl can move)
+        perm_r = _swap_perm_traced(
+            jax.lax.slice(p_loc, (c0 + wl,), (c0 + w,)), rows, c0 + wl
+        )
+        left_lo = jax.lax.slice(p, (c0 + wl, c0), (rows, c0 + wl))
+        left_lo = jnp.take(
+            left_lo,
+            jax.lax.slice(perm_r, (c0 + wl,), (rows,)) - jnp.int32(c0 + wl),
+            axis=0,
+            unique_indices=True,
+        )
+        p = jax.lax.dynamic_update_slice(p, left_lo, (c0 + wl, c0))
+        return p, p_loc, ok
+
+    return rec(
+        p, jnp.zeros(jb, jnp.int32), jnp.array(True), 0, jb
     )
 
 
@@ -291,20 +387,33 @@ def _perm_from_ploc_traced(p_loc, rows: int):
     return jax.lax.fori_loop(0, p_loc.shape[0], body, perm)
 
 
-def _unit_lower_inverse_traced(l):
-    """inv(L) for unit-lower L (strict lower valid), platform f64,
-    forward substitution row by row."""
-    jb = l.shape[0]
-    cix = jnp.arange(jb)
-    x = jnp.eye(jb, dtype=l.dtype)
+def _unit_lower_inverse_traced(l, base: int = _PANEL_BASE):
+    """inv(L) for unit-lower L (strict lower valid), platform f64.
+
+    Recursive block inverse — inv([[A,0],[B,C]]) = [[invA, 0],
+    [-invC @ B @ invA, invC]] — so the sequential forward-substitution
+    loop only ever runs on base-sized diagonal blocks and everything
+    else is log-depth matmuls (the flat jb-step loop rewrote the whole
+    jb x jb carry per row: O(jb^3) HBM traffic at HPL panel widths).
+    """
+    w = l.shape[0]
+    if w > base:
+        wl = w // 2
+        ia = _unit_lower_inverse_traced(l[:wl, :wl], base)
+        ic = _unit_lower_inverse_traced(l[wl:, wl:], base)
+        b = l[wl:, :wl]
+        z = jnp.zeros((wl, w - wl), dtype=l.dtype)
+        return jnp.block([[ia, z], [-(ic @ (b @ ia)), ic]])
+    cix = jnp.arange(w)
+    x = jnp.eye(w, dtype=l.dtype)
 
     def body(i, x):
-        li = jax.lax.dynamic_slice(l, (i, 0), (1, jb))
+        li = jax.lax.dynamic_slice(l, (i, 0), (1, w))
         li = jnp.where(cix[None, :] < i, li, jnp.zeros((), l.dtype))
-        xi = jax.lax.dynamic_slice(x, (i, 0), (1, jb)) - li @ x
+        xi = jax.lax.dynamic_slice(x, (i, 0), (1, w)) - li @ x
         return jax.lax.dynamic_update_slice(x, xi, (i, 0))
 
-    return jax.lax.fori_loop(1, jb, body, x)
+    return jax.lax.fori_loop(1, w, body, x)
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5, 6))
@@ -361,16 +470,35 @@ def _lu_step_device_panel(j, jb, num_split, hi, lo, ok, piv):
 
 
 def _lu_factor_device_panels(
-    ax: F64X, num_split: int, block: int, profile=None
+    ax: F64X, num_split: int, block: int, profile=None, mesh=None,
+    mesh_axis: str = "x",
 ) -> Tuple[F64X, np.ndarray]:
     """Fully device-resident blocked LU: device panels, async step chain,
-    one final sync (the singularity flag + piv pull)."""
+    one final sync (the singularity flag + piv pull).
+
+    ``mesh`` shards the matrix planes over the mesh's ``mesh_axis`` rows
+    (``NamedSharding(mesh, P(mesh_axis, None))``) and lets GSPMD
+    partition every step program — the trailing-update engine GEMMs run
+    one row-block per device with the collectives XLA inserts.  With
+    host panels the sharded factorization is BITWISE-identical to the
+    single-device one (every on-device op is exact); with device panels
+    the panel's platform-f64 matmuls have shape-dependent reduction
+    blocking, so agreement is pivot-exact but only roundoff-level in
+    values (both asserted in tests/test_linalg.py on the 8-device
+    virtual CPU mesh).
+    """
     import time as _time
 
     n = ax.shape[0]
     nb = max(1, min(int(block), n))
     hi = jnp.array(ax.hi, copy=True)
     lo = jnp.array(ax.lo, copy=True)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rows_sh = NamedSharding(mesh, PartitionSpec(mesh_axis, None))
+        hi = jax.device_put(hi, rows_sh)
+        lo = jax.device_put(lo, rows_sh)
     ok = jnp.array(True)
     piv = jnp.arange(n, dtype=jnp.int32)
     for j in range(0, n, nb):
@@ -429,15 +557,20 @@ def _lu_step_device(j, jb, num_split, hi, lo, perm, phi, plo, ihi, ilo):
 
 
 def _lu_factor_device(
-    ax: F64X, num_split: int, block: int, profile=None, panel: str = "host"
+    ax: F64X, num_split: int, block: int, profile=None, panel: str = "host",
+    mesh=None, mesh_axis: str = "x",
 ) -> Tuple[F64X, np.ndarray]:
     """Device-resident blocked LU (real f64 bit planes).  ``profile``
     (optional dict) accumulates per-phase seconds — profiling inserts
     device syncs at phase boundaries, so leave it None for wall timing.
     ``panel="device"`` also factors the pivot panels on device (platform
-    f64) — zero per-step host traffic; see the section comment above."""
+    f64) — zero per-step host traffic; see the section comment above.
+    ``mesh`` runs the factorization row-sharded over the mesh (see
+    :func:`_lu_factor_device_panels`)."""
     if panel == "device":
-        return _lu_factor_device_panels(ax, num_split, block, profile)
+        return _lu_factor_device_panels(
+            ax, num_split, block, profile, mesh, mesh_axis
+        )
     if panel != "host":
         raise ValueError(f"panel must be 'host' or 'device', got {panel!r}")
     n = ax.shape[0]
@@ -445,6 +578,12 @@ def _lu_factor_device(
     # private working copies: the step programs donate their inputs
     hi = jnp.array(ax.hi, copy=True)
     lo = jnp.array(ax.lo, copy=True)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rows_sh = NamedSharding(mesh, PartitionSpec(mesh_axis, None))
+        hi = jax.device_put(hi, rows_sh)
+        lo = jax.device_put(lo, rows_sh)
     hi, lo, piv = _lu_factor_device_steps(hi, lo, num_split, nb, profile)
     return F64X(hi, lo), piv
 
@@ -475,6 +614,8 @@ def lu_factor(
     device: Optional[bool] = None,
     panel: str = "host",
     profile=None,
+    mesh=None,
+    mesh_axis: str = "x",
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Blocked LU factorization with partial pivoting: ``P @ A = L @ U``.
 
@@ -504,10 +645,22 @@ def lu_factor(
     resident, remote-tunnel-proof variant; ``"host"`` (default) keeps
     true-f64 panels.  ``profile`` (dict) collects per-phase seconds on
     the device path.
+
+    ``mesh`` (a ``jax.sharding.Mesh``) scales the device-resident
+    factorization out: the matrix planes are sharded by rows over
+    ``mesh_axis`` and GSPMD partitions every step — the trailing-update
+    engine GEMMs (asymptotically all the FLOPs) run one row block per
+    device.  Bitwise-identical to the single-device factorization with
+    ``panel="host"`` (every on-device op is exact); pivot-exact with
+    roundoff-level value agreement with ``panel="device"`` (the panel's
+    platform-f64 matmuls are not sharding-invariant).  Implies
+    ``device=True``.
     """
     is_f64x = isinstance(a, F64X)
     if device is None:
-        device = is_f64x
+        device = is_f64x or mesh is not None
+    if mesh is not None and not device:
+        raise ValueError("mesh requires the device-resident path")
     if device:
         num_split = _resolve_int8_num_split(mode, handle)
         if is_f64x:
@@ -528,7 +681,9 @@ def lu_factor(
             raise ValueError(
                 f"lu_factor needs a square 2D matrix, got {ax.shape}"
             )
-        luX, piv = _lu_factor_device(ax, num_split, block, profile, panel)
+        luX, piv = _lu_factor_device(
+            ax, num_split, block, profile, panel, mesh, mesh_axis
+        )
         if is_f64x:
             return luX, piv
         n = ax.shape[0]
@@ -619,17 +774,27 @@ def _tril_mask_device(hi, lo):
 
 
 def _cholesky_device(
-    ax: F64X, num_split: int, block: int, profile=None
+    ax: F64X, num_split: int, block: int, profile=None, mesh=None,
+    mesh_axis: str = "x",
 ) -> F64X:
     """Device-resident blocked Cholesky (real SPD bit planes).  Unlike
     LU, only the jb x jb diagonal block round-trips to the host per step
-    (no pivoting), so host traffic is O(n * nb) total."""
+    (no pivoting), so host traffic is O(n * nb) total.  ``mesh`` row-
+    shards the planes and GSPMD-partitions the steps (bitwise-identical:
+    the trailing syrk is exact engine arithmetic, the panel solve is an
+    engine GEMM against the host-computed inverse)."""
     import time as _time
 
     n = ax.shape[0]
     nb = max(1, min(int(block), n))
     hi = jnp.array(ax.hi, copy=True)
     lo = jnp.array(ax.lo, copy=True)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rows_sh = NamedSharding(mesh, PartitionSpec(mesh_axis, None))
+        hi = jax.device_put(hi, rows_sh)
+        lo = jax.device_put(lo, rows_sh)
     for j in range(0, n, nb):
         jb = min(nb, n - j)
         rest = j + jb
@@ -757,6 +922,8 @@ def cholesky(
     handle=None,
     device: Optional[bool] = None,
     profile=None,
+    mesh=None,
+    mesh_axis: str = "x",
 ) -> np.ndarray:
     """Blocked Cholesky factorization ``A = L @ L^H`` (lower), SPD/HPD input.
 
@@ -774,11 +941,16 @@ def cholesky(
 
     ``device`` selects the device-resident variant (default: iff ``a``
     is an :class:`F64X`); real SPD only, fixed int8 mode, and only the
-    jb x jb diagonal block crosses to the host per step.
+    jb x jb diagonal block crosses to the host per step.  ``mesh``
+    row-shards the planes over ``mesh_axis`` and GSPMD-partitions every
+    step — bitwise-identical to the single-device factorization (all
+    on-device arithmetic is exact; implies ``device=True``).
     """
     is_f64x = isinstance(a, F64X)
     if device is None:
-        device = is_f64x
+        device = is_f64x or mesh is not None
+    if mesh is not None and not device:
+        raise ValueError("mesh requires the device-resident path")
     if device:
         num_split = _resolve_int8_num_split(mode, handle)
         if is_f64x:
@@ -799,7 +971,7 @@ def cholesky(
             raise ValueError(
                 f"cholesky needs a square 2D matrix, got {ax.shape}"
             )
-        lX = _cholesky_device(ax, num_split, block, profile)
+        lX = _cholesky_device(ax, num_split, block, profile, mesh, mesh_axis)
         if is_f64x:
             return lX
         n = ax.shape[0]

@@ -378,6 +378,142 @@ class TestDevicePanels:
                       panel="bogus")
 
 
+class TestShardedLU:
+    """lu_factor(mesh=...): the device-resident factorization row-sharded
+    over a mesh, GSPMD-partitioned.  The engine's cross-device arithmetic
+    is exact, so the sharded run must be BITWISE-identical to the
+    single-device one."""
+
+    def _mesh(self):
+        import jax
+        from jax.sharding import Mesh
+
+        if len(jax.devices()) < 8:
+            pytest.skip("needs 8 virtual devices")
+        return Mesh(np.array(jax.devices()[:8]), ("x",))
+
+    def test_bitwise_same_as_single_device_host_panel(self):
+        # host panels: every on-device op is exact (int32 dots, fixed
+        # fold tree, elementwise epilogue) -> sharding cannot change bits
+        mesh = self._mesh()
+        rng = np.random.default_rng(60)
+        a = rng.uniform(-1, 1, size=(128, 128))
+        lu_s, piv_s = lu_factor(
+            a, mode="fp64_int8_9", block=32, mesh=mesh, panel="host"
+        )
+        lu_1, piv_1 = lu_factor(
+            a, mode="fp64_int8_9", block=32, device=True, panel="host"
+        )
+        np.testing.assert_array_equal(piv_s, piv_1)
+        np.testing.assert_array_equal(
+            lu_s.view(np.uint64), lu_1.view(np.uint64)
+        )
+        assert _pa_lu_residual(a, lu_s, piv_s) < 1e-14
+
+    def test_device_panel_matches_single_device(self):
+        # device panels run platform-f64 matmuls (TRSM/inverse blocks)
+        # whose reduction blocking is shape-dependent in XLA, so sharding
+        # is NOT bitwise-reproducible there — the guarantee is the same
+        # pivot sequence (no near-ties at these magnitudes) and platform-
+        # f64-roundoff agreement, with the factorization residual intact
+        mesh = self._mesh()
+        rng = np.random.default_rng(60)
+        a = rng.uniform(-1, 1, size=(128, 128))
+        lu_s, piv_s = lu_factor(
+            a, mode="fp64_int8_9", block=32, mesh=mesh, panel="device"
+        )
+        lu_1, piv_1 = lu_factor(
+            a, mode="fp64_int8_9", block=32, device=True, panel="device"
+        )
+        np.testing.assert_array_equal(piv_s, piv_1)
+        rel = np.abs(lu_s - lu_1).max() / np.abs(lu_1).max()
+        assert rel < 1e-13, rel
+        assert _pa_lu_residual(a, lu_s, piv_s) < 1e-14
+
+    def test_sharded_cholesky_bitwise(self):
+        from ozimmu_tpu.linalg import cholesky
+
+        mesh = self._mesh()
+        rng = np.random.default_rng(62)
+        g = rng.uniform(-1, 1, size=(96, 96))
+        a = g @ g.T + 96 * np.eye(96)
+        l_s = cholesky(a, mode="fp64_int8_9", block=24, mesh=mesh)
+        l_1 = cholesky(a, mode="fp64_int8_9", block=24, device=True)
+        np.testing.assert_array_equal(
+            l_s.view(np.uint64), l_1.view(np.uint64)
+        )
+        rel = np.linalg.norm(a - l_s @ l_s.T) / np.linalg.norm(a)
+        assert rel < 1e-14, rel
+
+    def test_solve_through_sharded_factor(self):
+        mesh = self._mesh()
+        rng = np.random.default_rng(61)
+        a = rng.uniform(-1, 1, size=(96, 96)) + 96 * np.eye(96)
+        x_true = rng.standard_normal(96)
+        b = a @ x_true
+        fac = lu_factor(a, mode="fp64_int8_9", block=24, mesh=mesh)
+        x = lu_solve(fac, b)
+        assert np.linalg.norm(x - x_true) / np.linalg.norm(x_true) < 1e-12
+
+
+class TestTracedPanelHelpers:
+    """Direct parity of the recursive traced panel kernels against the
+    unblocked numpy factorization (the device-panel LU path is built on
+    these; recursion changes the rounding order but must preserve the
+    pivot SEQUENCE and the factorization up to platform-f64 roundoff)."""
+
+    @pytest.mark.parametrize(
+        "rows,jb", [(7, 3), (33, 17), (128, 96), (200, 64), (100, 1)]
+    )
+    def test_panel_matches_numpy(self, rows, jb):
+        import jax
+        import jax.numpy as jnp
+
+        from ozimmu_tpu.linalg import (
+            _numpy_panel_factor_local,
+            _panel_factor_traced,
+        )
+
+        rng = np.random.default_rng(rows * 1000 + jb)
+        p = rng.standard_normal((rows, jb))
+        lu_ref, ploc_ref = _numpy_panel_factor_local(p.copy())
+        lu, ploc, ok = jax.jit(
+            lambda x: _panel_factor_traced(x, jb)
+        )(jnp.asarray(p))
+        assert bool(ok)
+        np.testing.assert_array_equal(np.asarray(ploc), ploc_ref)
+        rel = np.abs(np.asarray(lu) - lu_ref).max() / np.abs(lu_ref).max()
+        assert rel < 1e-13, rel
+
+    @pytest.mark.parametrize("w", [1, 5, 17, 129, 256])
+    def test_unit_lower_inverse(self, w):
+        import jax
+        import jax.numpy as jnp
+
+        from ozimmu_tpu.linalg import _unit_lower_inverse_traced
+
+        rng = np.random.default_rng(w)
+        # partial-pivoted L has |strict lower| <= 1 (realistic conditioning)
+        l = np.tril(rng.uniform(-1, 1, (w, w)), -1) + np.eye(w)
+        inv = np.asarray(jax.jit(_unit_lower_inverse_traced)(jnp.asarray(l)))
+        ref = np.linalg.inv(l)
+        rel = np.abs(inv - ref).max() / max(1.0, np.abs(ref).max())
+        assert rel < 1e-12, rel
+
+    def test_singular_panel_flagged(self):
+        import jax
+        import jax.numpy as jnp
+
+        from ozimmu_tpu.linalg import _panel_factor_traced
+
+        p = np.zeros((8, 4))
+        p[:, 1:] = np.random.default_rng(3).standard_normal((8, 3))
+        _, _, ok = jax.jit(lambda x: _panel_factor_traced(x, 4))(
+            jnp.asarray(p)
+        )
+        assert not bool(ok)
+
+
 class TestFromF64DD:
     def test_exact_on_cpu_normal_range(self):
         import jax.numpy as jnp
