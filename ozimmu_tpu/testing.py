@@ -86,6 +86,37 @@ def _sync(r):
     np.asarray(jax.device_get(leaf.ravel()[:1]))
 
 
+def _dep_row(c):
+    """[1, n] dependency row that consumes EVERY element of ``c``.
+
+    The naive ``c[:1, :]`` is NOT a valid timing dependency: XLA's
+    algebraic simplifier rewrites slice(dot(a, b)) -> dot(slice(a), b),
+    reducing the whole "dependent" chain to one matvec per iteration —
+    measured as impossible TFLOPS on CPU and TPU alike.  A column SUM is
+    equally invalid (sum(dot(a, b)) factors to dot(sum(a), b)).  A MAX
+    reduction is nonlinear: it can neither be sliced nor factored away,
+    so the full dot must execute.  (The engine chains are immune because
+    their Pallas recombination is an opaque custom call; bench.py's
+    native chain already consumed the full output.)"""
+    import jax.numpy as jnp
+
+    return jnp.max(c, axis=0, keepdims=True)
+
+
+def _xor_dep(x, dep_row):
+    """Flip x's low mantissa bits with bits derived from ``dep_row``
+    ([1, n], broadcasts over x's rows) — a BIT-level loop-carried
+    dependency the compiler cannot round away (value-level ``x +
+    tiny*dep`` is eliminated for f32: the add rounds to x exactly).
+    f32 only (bitcasting XLA's emulated f64 is not portable)."""
+    import jax
+    import jax.numpy as jnp
+
+    dep = jax.lax.bitcast_convert_type(dep_row, jnp.uint32) & np.uint32(1)
+    bits = jax.lax.bitcast_convert_type(x, jnp.uint32) ^ dep
+    return jax.lax.bitcast_convert_type(bits, jnp.float32)
+
+
 def _make_runner(a: np.ndarray, b: np.ndarray, mode, donate: bool = False):
     """Build the dependent-iteration timing chain for one GEMM.
 
@@ -135,8 +166,11 @@ def _make_runner(a: np.ndarray, b: np.ndarray, mode, donate: bool = False):
             def body(i, carry):
                 a_lo, b_lo = carry
                 out = _gemm_core(F64X(a_hi, a_lo), F64X(b_hi, b_lo), ns, 1.0, 0.0)
-                dep_a = out.lo[:, :1] & np.uint32(1)  # [m, 1] -> bcast [m, k]
-                dep_b = out.lo[:1, :] & np.uint32(1)  # [1, n] -> bcast [k, n]
+                # row/col SUMS consume every element of the packed output
+                # (a [:, :1] slice would let XLA slice the elementwise pack
+                # epilogue down to one column — see _dep_row)
+                dep_a = jnp.sum(out.lo, axis=1, keepdims=True, dtype=jnp.uint32) & np.uint32(1)
+                dep_b = jnp.sum(out.lo, axis=0, keepdims=True, dtype=jnp.uint32) & np.uint32(1)
                 return (a_lo ^ dep_a, b_lo ^ dep_b)
 
             return jax.lax.fori_loop(0, iters, body, (a_lo, b_lo))
@@ -169,21 +203,71 @@ def _make_runner(a: np.ndarray, b: np.ndarray, mode, donate: bool = False):
                     F64X(br_hi, br_lo), F64X(bi_hi, bi_lo),
                     ns, 1.0 + 0j, 0.0 + 0j,
                 )
-                dep_a = out_re.lo[:, :1] & np.uint32(1)
-                dep_b = out_im.lo[:1, :] & np.uint32(1)
+                # full-output sums, not slices — see _dep_row
+                dep_a = jnp.sum(out_re.lo, axis=1, keepdims=True, dtype=jnp.uint32) & np.uint32(1)
+                dep_b = jnp.sum(out_im.lo, axis=0, keepdims=True, dtype=jnp.uint32) & np.uint32(1)
                 return (ar_lo ^ dep_a, ai_lo ^ dep_a, br_lo ^ dep_b, bi_lo ^ dep_b)
 
             return jax.lax.fori_loop(0, iters, body, (ar_lo, ai_lo, br_lo, bi_lo))
 
         args = (ar.hi, ai.hi, br.hi, bi.hi, ar.lo, ai.lo, br.lo, bi.lo)
+    elif complex_:
+        # native complex: 4 REAL passes in the real dtype — what the API's
+        # complex DGEMM/SGEMM branches actually execute (core/api.py; the
+        # reference's 4-multiplication ZGEMM structure).  Timing
+        # jnp.matmul(complex128) instead would measure XLA's complex-f64
+        # emulation, which the library never runs — and which lowers so
+        # poorly on TPU that a 4096^3 timing chain effectively hangs.
+        rdt = jnp.float32 if mode is ComputeMode.SGEMM else jnp.float64
+        # HIGHEST: what the API's sgemm demotion actually runs (full-f32
+        # MXU passes, core/api.py:92-95) — the TPU default would demote
+        # f32 matmuls to one bf16 pass and time a mode the library
+        # never executes
+        prec = jax.lax.Precision.HIGHEST
+        ar = jnp.asarray(np.ascontiguousarray(a.real), dtype=rdt)
+        ai = jnp.asarray(np.ascontiguousarray(a.imag), dtype=rdt)
+        br = jnp.asarray(np.ascontiguousarray(b.real), dtype=rdt)
+        bi = jnp.asarray(np.ascontiguousarray(b.imag), dtype=rdt)
+        carry_idx = (2, 3)
+
+        @partial(
+            jax.jit,
+            static_argnums=(4,),
+            donate_argnums=carry_idx if donate else (),
+        )
+        def run(ar, ai, br, bi, iters):
+            def body(i, carry):
+                br, bi = carry
+                re = jnp.matmul(
+                    ar, br, preferred_element_type=rdt, precision=prec
+                ) - jnp.matmul(ai, bi, preferred_element_type=rdt, precision=prec)
+                im = jnp.matmul(
+                    ar, bi, preferred_element_type=rdt, precision=prec
+                ) + jnp.matmul(ai, br, preferred_element_type=rdt, precision=prec)
+                if rdt == jnp.float32:
+                    # [1, n] dep rows broadcast over [k, n] for any m, k
+                    return _xor_dep(br, _dep_row(re)), _xor_dep(bi, _dep_row(im))
+                eps = np.asarray(1e-30, dtype=np.float32).astype(rdt)
+                return br + _dep_row(re) * eps, bi + _dep_row(im) * eps
+
+            return jax.lax.fori_loop(0, iters, body, (br, bi))
+
+        args = (ar, ai, br, bi)
     else:
-        # native paths: dgemm (platform f64) / sgemm (f32 demotion)
+        # native real: dgemm (platform f64) / sgemm (f32 demotion)
         dt = jnp.float32 if mode is ComputeMode.SGEMM else jnp.float64
-        if complex_:
-            dt = jnp.complex64 if mode is ComputeMode.SGEMM else jnp.complex128
         aj = jnp.asarray(a, dtype=dt)
         bj = jnp.asarray(b, dtype=dt)
         carry_idx = (1,)
+
+        # f32: HIGHEST matches the API's sgemm demotion (full-f32 MXU
+        # passes, core/api.py:92-95) — the TPU default would demote to one
+        # bf16 pass.  f64: default precision = the platform's standard
+        # native-f64 matmul (the baseline users actually get).
+        prec = (
+            jax.lax.Precision.HIGHEST if dt == jnp.float32
+            else jax.lax.Precision.DEFAULT
+        )
 
         @partial(
             jax.jit,
@@ -192,9 +276,14 @@ def _make_runner(a: np.ndarray, b: np.ndarray, mode, donate: bool = False):
         )
         def run(aj, bj, iters):
             def body(i, bj):
-                c = jnp.matmul(aj, bj, preferred_element_type=dt)
-                # [1, n] slice broadcasts over bj's [k, n] for any m, k
-                return bj + c[:1, :] * np.asarray(1e-30, dtype=np.float32).astype(dt)
+                c = jnp.matmul(aj, bj, preferred_element_type=dt, precision=prec)
+                if dt == jnp.float32:
+                    # [1, n] dep row broadcasts over bj's [k, n] for any m, k
+                    return _xor_dep(bj, _dep_row(c))
+                # f64: value-level dependency (bitcasting XLA's emulated
+                # f64 is not portable); the add is multi-op under the
+                # double-float lowering and measures correctly
+                return bj + _dep_row(c) * np.asarray(1e-30, dtype=np.float32).astype(dt)
 
             return jax.lax.fori_loop(0, iters, body, bj)
 

@@ -5,9 +5,12 @@ Computes the long-double reference product ONCE (native OpenMP oracle)
 and reuses it for every mode, so the sweep cost is dominated by the TPU
 measurements rather than 16 oracle recomputations.
 
-Usage:  python tools/pareto_sweep.py [SIZE] [NS_LIST] [flags]
+Usage:  python tools/pareto_sweep.py [SIZE] [MODE_LIST] [flags]
         python tools/pareto_sweep.py 4096 3,4,...,18
         python tools/pareto_sweep.py 4096 8,9,10 --complex   # ZGEMM sweep
+        python tools/pareto_sweep.py 4096 dgemm,sgemm --complex  # just the
+                # fallback rows (integer tokens mean fp64_int8_<ns>; with an
+                # explicit list dgemm/sgemm are not auto-appended)
         python tools/pareto_sweep.py 8192 3,...,18 --no-oracle  # timing only
                 # (residual column = nan; the 1-core long-double oracle is
                 # infeasible at compute-bound sizes — pair with a smaller
@@ -43,12 +46,24 @@ def main() -> int:
     flags = {x for x in sys.argv[1:] if x.startswith("--")}
     complex_ = "--complex" in flags
     no_oracle = "--no-oracle" in flags
+    # --test-count=N: chained iterations per timing (default 4).  The
+    # sgemm rows NEED a large count: one f32 GEMM at 4096^3 is ~0.3 ms,
+    # far below the remote tunnel's run-to-run jitter, so the default
+    # 4-vs-8 difference is noise there (measured: nonsense 5e8 "TFLOPS").
+    test_count = 4
+    for f in flags:
+        if f.startswith("--test-count="):
+            test_count = int(f.split("=", 1)[1])
     size = int(args[0]) if args else 4096
-    ns_list = (
-        [int(x) for x in args[1].split(",")]
-        if len(args) > 1
-        else list(range(3, 19))
-    )
+    # mode list: integer tokens -> fp64_int8_<ns>; name tokens (dgemm,
+    # sgemm, fp64_int8_7, ...) pass through verbatim.  When the list is
+    # explicit the dgemm/sgemm fallback rows are NOT auto-appended — so
+    # a partial re-run (e.g. "dgemm,sgemm") measures exactly what it says.
+    explicit = len(args) > 1
+    tokens = args[1].split(",") if explicit else [str(x) for x in range(3, 19)]
+    mode_list = [
+        f"fp64_int8_{t}" if t.strip().isdigit() else t.strip() for t in tokens
+    ]
     a = generate_input("urand01", (size, size), seed=0, complex_=complex_)
     b = generate_input("urand01", (size, size), seed=1, complex_=complex_)
 
@@ -63,7 +78,7 @@ def main() -> int:
     dev = str(jax.devices()[0]).replace(",", ";")
     kind = "Z" if complex_ else "D"
     print("device,gemm,input,mode,opA,opB,m,n,k,residual,max_relative,tflops", flush=True)
-    modes = [f"fp64_int8_{ns}" for ns in ns_list] + ["dgemm", "sgemm"]
+    modes = mode_list if explicit else mode_list + ["dgemm", "sgemm"]
     for mode in modes:
         if c_ref is not None:
             c = oz.gemm(a, b, mode=mode)
@@ -72,7 +87,7 @@ def main() -> int:
             err = {"relative_residual": float("nan"),
                    "max_relative_error": float("nan")}
         try:
-            tflops = effective_tflops(a, b, mode, test_count=4)
+            tflops = effective_tflops(a, b, mode, test_count=test_count)
         except Exception as e:  # keep the accuracy row even if timing fails
             print(f"# timing failed for {mode}: {e}", file=sys.stderr)
             tflops = float("nan")
