@@ -192,8 +192,12 @@ def from_f64_dd(x: jax.Array) -> F64X:
     l1 = r1.astype(jnp.float32)
     l2 = (r1 - l1.astype(x.dtype)).astype(jnp.float32)
     out = pack_f64x((h, l1, l2), 128 * k)
-    # pack emits +0 for a zero triple; restore the sign of -0.0 inputs
-    neg0 = (x == 0) & jnp.signbit(x)
+    # pack emits +0 for a zero triple; restore the sign of -0.0 inputs.
+    # The sign test reads h's f32 sign bit — jnp.signbit on the f64 input
+    # would lower to a f64->s64 bitcast, which XLA:TPU's x64-removal pass
+    # rejects (h = f32(xs) preserves the zero's sign on both platforms).
+    sign32 = jax.lax.bitcast_convert_type(h, jnp.int32) >> 31
+    neg0 = (x == 0) & (sign32 != 0)
     hi = jnp.where(neg0, out.hi | np.uint32(0x80000000), out.hi)
     return F64X(hi, out.lo)
 
