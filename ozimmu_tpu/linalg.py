@@ -234,7 +234,24 @@ def _lu_factor_device_steps(hi, lo, num_split: int, nb: int, profile=None):
 # benchmark matrices, and `solve(..., refine=1)` restores the f64 floor.
 
 
-_PANEL_BASE = 16  # base-case width of the recursive panel factorization
+def _panel_base() -> int:
+    """Base-case width of the recursive device-panel factorization.
+
+    Trade-off: a wider base means fewer recursion levels / while-loops in
+    the step program (XLA compiles sequential loops slowly — over a
+    remote-compile tunnel the warmup of a big factorization is dominated
+    by this) at the cost of more HBM traffic per base column (the masked
+    loop rewrites a base-wide stripe per column).  16 is the
+    traffic-optimal default; raise via OZIMMU_PANEL_BASE (e.g. 64) when
+    compile latency matters more than the O(rows*base) stripe rewrites.
+    """
+    import os
+
+    return max(2, int(os.environ.get("OZIMMU_PANEL_BASE", _PANEL_BASE_DEFAULT)))
+
+
+_PANEL_BASE_DEFAULT = 16
+_PANEL_BASE = 16  # back-compat alias (callers use _panel_base() at trace time)
 
 
 def _panel_base_traced(ps, i0: int, ok):
@@ -296,9 +313,10 @@ def _swap_perm_traced(p_loc, rows: int, i0: int):
     return jax.lax.fori_loop(0, p_loc.shape[0], body, perm)
 
 
-def _unit_lower_solve_traced(l, b, base: int = _PANEL_BASE):
+def _unit_lower_solve_traced(l, b, base: Optional[int] = None):
     """X = L^-1 @ B with L unit lower triangular (strict lower valid),
     recursive block forward substitution (GEMM-rich, log depth)."""
+    base = _panel_base() if base is None else base
     w = l.shape[0]
     if w <= base:
         return _unit_lower_inverse_traced(l, base) @ b
@@ -309,7 +327,7 @@ def _unit_lower_solve_traced(l, b, base: int = _PANEL_BASE):
     return jnp.concatenate([x1, x2], axis=0)
 
 
-def _panel_factor_traced(p, jb: int, base: int = _PANEL_BASE):
+def _panel_factor_traced(p, jb: int, base: Optional[int] = None):
     """Partial-pivot LU of a (rows x jb) panel in platform f64, traced.
 
     Recursive blocked formulation (LAPACK getrf recursion): factor the
@@ -322,6 +340,7 @@ def _panel_factor_traced(p, jb: int, base: int = _PANEL_BASE):
     the factored panel, LOCAL pivot indices (getrf ipiv convention,
     absolute within the panel), and an all-pivots-nonzero flag.
     """
+    base = _panel_base() if base is None else base
     rows = p.shape[0]
 
     def rec(p, p_loc, ok, c0: int, w: int):
@@ -387,7 +406,7 @@ def _perm_from_ploc_traced(p_loc, rows: int):
     return jax.lax.fori_loop(0, p_loc.shape[0], body, perm)
 
 
-def _unit_lower_inverse_traced(l, base: int = _PANEL_BASE):
+def _unit_lower_inverse_traced(l, base: Optional[int] = None):
     """inv(L) for unit-lower L (strict lower valid), platform f64.
 
     Recursive block inverse — inv([[A,0],[B,C]]) = [[invA, 0],
@@ -396,6 +415,7 @@ def _unit_lower_inverse_traced(l, base: int = _PANEL_BASE):
     else is log-depth matmuls (the flat jb-step loop rewrote the whole
     jb x jb carry per row: O(jb^3) HBM traffic at HPL panel widths).
     """
+    base = _panel_base() if base is None else base
     w = l.shape[0]
     if w > base:
         wl = w // 2
@@ -501,11 +521,13 @@ def _lu_factor_device_panels(
         lo = jax.device_put(lo, rows_sh)
     ok = jnp.array(True)
     piv = jnp.arange(n, dtype=jnp.int32)
+    from .utils.log import log as _oz_log
+
     for j in range(0, n, nb):
         jb = min(nb, n - j)
         if profile is not None:
             jax.block_until_ready(hi)
-            t0 = _time.perf_counter()
+        t0 = _time.perf_counter()
         hi, lo, ok, piv = _lu_step_device_panel(
             j, jb, num_split, hi, lo, ok, piv
         )
@@ -514,6 +536,12 @@ def _lu_factor_device_panels(
             profile["device_update_s"] = profile.get(
                 "device_update_s", 0.0
             ) + (_time.perf_counter() - t0)
+        # dispatch-side progress (compiles show up here on first run;
+        # the step itself stays async unless profiling)
+        _oz_log(
+            f"lu step j={j} jb={jb} dispatched in "
+            f"{_time.perf_counter() - t0:.2f}s"
+        )
     if not bool(jax.device_get(ok)):
         raise np.linalg.LinAlgError("singular matrix: zero pivot")
     return F64X(hi, lo), np.asarray(jax.device_get(piv), dtype=np.int64)
