@@ -37,10 +37,15 @@ ArrayLike = Union[np.ndarray, F64X]
 
 
 def _apply_op_np(x: np.ndarray, op: Operation) -> np.ndarray:
-    return x if op is Operation.N else x.T
+    if op is Operation.N:
+        return x
+    if op is Operation.C and np.iscomplexobj(x):
+        return np.conj(x).T
+    return x.T  # T, or C on real input (conjugation is the identity)
 
 
 def _apply_op_f64x(x: F64X, op: Operation) -> F64X:
+    # F64X carries real planes; C == T (conjugation is the identity)
     return x if op is Operation.N else x.transpose()
 
 
@@ -264,6 +269,11 @@ def gemm(
 
     Returns the same container kind as ``a`` (numpy -> numpy, F64X -> F64X).
     Complex (numpy complex128) inputs run the 4-pass complex engine.
+
+    ``op_a``/``op_b`` accept ``"N"``, ``"T"`` and ``"C"`` (conjugate
+    transpose) — the reference silently degrades ``CUBLAS_OP_C`` to
+    ``op_t`` (src/cublas.cu:50-56), here it is exact; on real operands
+    C and T coincide.
 
     NaN/Inf contract (same as the reference, whose split kernel reads
     exponent bits without a non-finite check, split.cu:154-185): a NaN or

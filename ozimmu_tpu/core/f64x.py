@@ -111,6 +111,17 @@ def sign_bit(x: F64X) -> jax.Array:
     return (x.hi >> np.uint32(31)).astype(jnp.int32)
 
 
+def neg(x: F64X) -> F64X:
+    """Exact negation: flip the IEEE sign bit (one uint32 XOR on hi).
+
+    Used for conjugate-transpose operands (Operation.C): conjugating a
+    complex matrix carried as (re, im) F64X planes is ``neg`` on the
+    imaginary plane — no value arithmetic, so it is exact for every
+    input including -0.0 and non-finite values.
+    """
+    return F64X(x.hi ^ np.uint32(0x80000000), x.lo)
+
+
 def from_f32(x: jax.Array) -> F64X:
     """Exact widening f32 -> f64 bit planes (device-side, integer ops).
 

@@ -19,10 +19,20 @@ from typing import Union
 
 
 class Operation(enum.Enum):
-    """Transpose flag for an operand (reference ozimmu.hpp:12)."""
+    """Transpose flag for an operand (reference ozimmu.hpp:12).
+
+    ``C`` (conjugate transpose) EXCEEDS the reference surface: the
+    reference shim silently degrades ``CUBLAS_OP_C`` to ``op_t``
+    (src/cublas.cu:50-56) — wrong answers for conjugated ZGEMM through
+    its LD_PRELOAD path.  Here conjugation is exact: for complex
+    operands the imaginary plane's sign bits flip before the split (one
+    uint32 XOR on device, ``np.conj`` on host); for real operands C is
+    identical to T (conjugation is the identity).
+    """
 
     N = "N"
     T = "T"
+    C = "C"
 
     @classmethod
     def parse(cls, value: "OperationLike") -> "Operation":
@@ -34,6 +44,8 @@ class Operation(enum.Enum):
                 return cls.N
             if v in ("T", "OP_T", "TRANS", "TRANSPOSE"):
                 return cls.T
+            if v in ("C", "OP_C", "H", "CONJTRANS", "CONJTRANSPOSE"):
+                return cls.C
         raise ValueError(f"unknown operation: {value!r}")
 
 

@@ -26,6 +26,49 @@ class TestGemmAPI:
         be = b if op_b == "N" else b.T
         np.testing.assert_allclose(c, ae @ be, rtol=1e-14)
 
+    @pytest.mark.parametrize("op_a,op_b", [("N", "C"), ("C", "N"), ("C", "C"), ("C", "T")])
+    def test_conjugate_transpose_complex(self, op_a, op_b):
+        # Operation.C exceeds the reference, which silently degrades
+        # OP_C to OP_T (src/cublas.cu:50-56) — these cases would come
+        # back WRONG through the reference shim.
+        rng = np.random.default_rng(7)
+        m, n, k = 24, 16, 32
+        a = rng.uniform(size=(m, k) if op_a == "N" else (k, m)) + 1j * rng.uniform(
+            size=(m, k) if op_a == "N" else (k, m)
+        )
+        b = rng.uniform(size=(k, n) if op_b == "N" else (n, k)) + 1j * rng.uniform(
+            size=(k, n) if op_b == "N" else (n, k)
+        )
+
+        def ap(x, op):
+            return x if op == "N" else (np.conj(x).T if op == "C" else x.T)
+
+        c = oz.gemm(a, b, mode="fp64_int8_9", op_a=op_a, op_b=op_b)
+        ref = ap(a, op_a) @ ap(b, op_b)
+        assert np.linalg.norm(c - ref) / np.linalg.norm(ref) < 1e-15
+
+    def test_conjugate_transpose_real_equals_t(self):
+        # real data: conjugation is the identity, C must match T bitwise
+        rng = np.random.default_rng(8)
+        a, b = rng.uniform(size=(32, 24)), rng.uniform(size=(32, 16))
+        ct = oz.gemm(a, b, mode="fp64_int8_9", op_a="T")
+        cc = oz.gemm(a, b, mode="fp64_int8_9", op_a="C")
+        assert np.array_equal(ct.view(np.uint64), cc.view(np.uint64))
+
+    def test_operation_c_parse_aliases(self):
+        from ozimmu_tpu.types import Operation
+
+        for alias in ("C", "c", "OP_C", "H", "conjtrans"):
+            assert Operation.parse(alias) is Operation.C
+
+    def test_f64x_neg_is_exact_signflip(self):
+        from ozimmu_tpu.core.f64x import neg
+
+        vals = np.array([0.0, -0.0, 1.5, -2.25, np.inf, -np.inf, 2.0**-1074])
+        x = oz.F64X.from_numpy(vals)
+        out = neg(x).to_numpy()
+        assert np.array_equal(out.view(np.uint64), (-vals).view(np.uint64))
+
     def test_matmul_alias(self):
         rng = np.random.default_rng(3)
         a, b = rng.uniform(size=(16, 16)), rng.uniform(size=(16, 16))
