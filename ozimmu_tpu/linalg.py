@@ -616,6 +616,458 @@ def _lu_factor_device(
     return F64X(hi, lo), piv
 
 
+# ---------------------------------------------------------------------------
+# Complex device-resident LU (the ZGEMM-HPL analogue of the real path
+# above; VERDICT r4 item 6).  A complex matrix is carried as two F64X
+# plane pairs (re, im); trailing updates run through the 4-pass complex
+# engine (zgemm_f64x, exact to one f64 rounding per part), and the pivot
+# panels factor either on host (true complex f64, LAPACK getrf) or on
+# device in platform f64 complex arithmetic on (re, im) array pairs.
+# Pivot selection uses |re| + |im| — LAPACK's IZAMAX/dcabs1 criterion —
+# so host- and device-panel variants pick identical pivot sequences on
+# ties-free data.
+# ---------------------------------------------------------------------------
+
+
+def _cdiv(xr, xi, pr, pi):
+    """Complex division on (re, im) array pairs, Smith-free (the panel
+    pivot is bounded away from the extremes by the pivoting itself)."""
+    d = pr * pr + pi * pi
+    return (xr * pr + xi * pi) / d, (xi * pr - xr * pi) / d
+
+
+def _cmatmul(ar, ai, br, bi):
+    """(ar + i*ai) @ (br + i*bi) on platform-f64 arrays."""
+    return ar @ br - ai @ bi, ar @ bi + ai @ br
+
+
+def _zpanel_base_traced(psr, psi, i0: int, ok):
+    """Masked partial-pivot LU of a narrow complex (rows x w) column slice
+    — the complex analogue of :func:`_panel_base_traced`, on (re, im)
+    platform-f64 planes.  Pivot magnitude is |re| + |im| (LAPACK dcabs1).
+    Returns (psr, psi, p_loc, ok)."""
+    rows, w = psr.shape
+    rix = jnp.arange(rows)
+    cix = jnp.arange(w)
+
+    def body(t, carry):
+        psr, psi, p_loc, ok = carry
+        i = i0 + t
+        colr = jax.lax.dynamic_slice(psr, (0, t), (rows, 1))[:, 0]
+        coli = jax.lax.dynamic_slice(psi, (0, t), (rows, 1))[:, 0]
+        mag = jnp.where(rix >= i, jnp.abs(colr) + jnp.abs(coli), -jnp.inf)
+        pl = jnp.argmax(mag).astype(jnp.asarray(t).dtype)
+
+        def swap(ps):
+            row_i = jax.lax.dynamic_slice(ps, (i, 0), (1, w))
+            row_p = jax.lax.dynamic_slice(ps, (pl, 0), (1, w))
+            ps = jax.lax.dynamic_update_slice(ps, row_p, (i, 0))
+            return jax.lax.dynamic_update_slice(ps, row_i, (pl, 0))
+
+        psr, psi = swap(psr), swap(psi)
+        p_loc = p_loc.at[t].set(pl.astype(jnp.int32))
+        pr = jax.lax.dynamic_slice(psr, (i, t), (1, 1))[0, 0]
+        pi = jax.lax.dynamic_slice(psi, (i, t), (1, 1))[0, 0]
+        nz = (pr != 0) | (pi != 0)
+        ok = ok & nz
+        safe_r = jnp.where(nz, pr, jnp.ones((), psr.dtype))
+        safe_i = jnp.where(nz, pi, jnp.zeros((), psi.dtype))
+        urow_r = jax.lax.dynamic_slice(psr, (i, 0), (1, w))[0]
+        urow_i = jax.lax.dynamic_slice(psi, (i, 0), (1, w))[0]
+        colr = jax.lax.dynamic_slice(psr, (0, t), (rows, 1))[:, 0]
+        coli = jax.lax.dynamic_slice(psi, (0, t), (rows, 1))[:, 0]
+        below = rix > i
+        fr, fi = _cdiv(colr, coli, safe_r, safe_i)
+        zero = jnp.zeros((), psr.dtype)
+        fr = jnp.where(below, fr, zero)
+        fi = jnp.where(below, fi, zero)
+        ur = jnp.where(cix > t, urow_r, zero)
+        ui = jnp.where(cix > t, urow_i, zero)
+        # rank-1 complex update: ps -= f (outer) u
+        psr = psr - (fr[:, None] * ur[None, :] - fi[:, None] * ui[None, :])
+        psi = psi - (fr[:, None] * ui[None, :] + fi[:, None] * ur[None, :])
+        colmask = below[:, None] & (cix[None, :] == t)
+        psr = jnp.where(colmask, fr[:, None], psr)
+        psi = jnp.where(colmask, fi[:, None], psi)
+        return psr, psi, p_loc, ok
+
+    return jax.lax.fori_loop(
+        0, w, body, (psr, psi, jnp.zeros(w, jnp.int32), ok)
+    )
+
+
+def _zunit_lower_inverse_traced(lr, li, base: Optional[int] = None):
+    """inv(L) for unit-lower complex L on (re, im) planes — the complex
+    analogue of :func:`_unit_lower_inverse_traced` (same block recursion,
+    complex matmuls)."""
+    base = _panel_base() if base is None else base
+    w = lr.shape[0]
+    if w > base:
+        wl = w // 2
+        iar, iai = _zunit_lower_inverse_traced(lr[:wl, :wl], li[:wl, :wl], base)
+        icr, ici = _zunit_lower_inverse_traced(lr[wl:, wl:], li[wl:, wl:], base)
+        br, bi = lr[wl:, :wl], li[wl:, :wl]
+        tr, ti = _cmatmul(br, bi, iar, iai)
+        sr, si = _cmatmul(icr, ici, tr, ti)
+        z = jnp.zeros((wl, w - wl), dtype=lr.dtype)
+        return (
+            jnp.block([[iar, z], [-sr, icr]]),
+            jnp.block([[iai, z], [-si, ici]]),
+        )
+    cix = jnp.arange(w)
+    xr = jnp.eye(w, dtype=lr.dtype)
+    xi = jnp.zeros((w, w), dtype=lr.dtype)
+
+    def body(i, carry):
+        xr, xi = carry
+        lir = jax.lax.dynamic_slice(lr, (i, 0), (1, w))
+        lii = jax.lax.dynamic_slice(li, (i, 0), (1, w))
+        zero = jnp.zeros((), lr.dtype)
+        lir = jnp.where(cix[None, :] < i, lir, zero)
+        lii = jnp.where(cix[None, :] < i, lii, zero)
+        pr, pi = _cmatmul(lir, lii, xr, xi)
+        xir = jax.lax.dynamic_slice(xr, (i, 0), (1, w)) - pr
+        xii = jax.lax.dynamic_slice(xi, (i, 0), (1, w)) - pi
+        xr = jax.lax.dynamic_update_slice(xr, xir, (i, 0))
+        xi = jax.lax.dynamic_update_slice(xi, xii, (i, 0))
+        return xr, xi
+
+    return jax.lax.fori_loop(1, w, body, (xr, xi))
+
+
+def _zunit_lower_solve_traced(lr, li, br, bi, base: Optional[int] = None):
+    """X = L^-1 @ B, unit-lower complex L, recursive block forward
+    substitution on (re, im) planes."""
+    base = _panel_base() if base is None else base
+    w = lr.shape[0]
+    if w <= base:
+        ir, ii = _zunit_lower_inverse_traced(lr, li, base)
+        return _cmatmul(ir, ii, br, bi)
+    wl = w // 2
+    x1r, x1i = _zunit_lower_solve_traced(
+        lr[:wl, :wl], li[:wl, :wl], br[:wl], bi[:wl], base
+    )
+    pr, pi = _cmatmul(lr[wl:, :wl], li[wl:, :wl], x1r, x1i)
+    x2r, x2i = _zunit_lower_solve_traced(
+        lr[wl:, wl:], li[wl:, wl:], br[wl:] - pr, bi[wl:] - pi, base
+    )
+    return (
+        jnp.concatenate([x1r, x2r], axis=0),
+        jnp.concatenate([x1i, x2i], axis=0),
+    )
+
+
+def _zpanel_factor_traced(pr, pi, jb: int, base: Optional[int] = None):
+    """Partial-pivot LU of a complex (rows x jb) panel in platform f64 —
+    the complex analogue of :func:`_panel_factor_traced` (same recursive
+    getrf blocking; swaps shared between the re/im planes)."""
+    base = _panel_base() if base is None else base
+    rows = pr.shape[0]
+
+    def rec(pr, pi, p_loc, ok, c0: int, w: int):
+        if w <= base:
+            psr = jax.lax.slice(pr, (0, c0), (rows, c0 + w))
+            psi = jax.lax.slice(pi, (0, c0), (rows, c0 + w))
+            psr, psi, pl, ok = _zpanel_base_traced(psr, psi, c0, ok)
+            pr = jax.lax.dynamic_update_slice(pr, psr, (0, c0))
+            pi = jax.lax.dynamic_update_slice(pi, psi, (0, c0))
+            p_loc = jax.lax.dynamic_update_slice(p_loc, pl, (c0,))
+            return pr, pi, p_loc, ok
+        wl = w // 2
+        wr = w - wl
+        pr, pi, p_loc, ok = rec(pr, pi, p_loc, ok, c0, wl)
+        perm = _swap_perm_traced(
+            jax.lax.slice(p_loc, (c0,), (c0 + wl,)), rows, c0
+        )
+
+        def takeperm(x, idx):
+            return jnp.take(x, idx, axis=0, unique_indices=True)
+
+        rr = takeperm(jax.lax.slice(pr, (0, c0 + wl), (rows, c0 + w)), perm)
+        ri = takeperm(jax.lax.slice(pi, (0, c0 + wl), (rows, c0 + w)), perm)
+        l11r = jax.lax.slice(pr, (c0, c0), (c0 + wl, c0 + wl))
+        l11i = jax.lax.slice(pi, (c0, c0), (c0 + wl, c0 + wl))
+        u12r, u12i = _zunit_lower_solve_traced(
+            l11r, l11i,
+            jax.lax.slice(rr, (c0, 0), (c0 + wl, wr)),
+            jax.lax.slice(ri, (c0, 0), (c0 + wl, wr)),
+            base,
+        )
+        rr = jax.lax.dynamic_update_slice(rr, u12r, (c0, 0))
+        ri = jax.lax.dynamic_update_slice(ri, u12i, (c0, 0))
+        l21r = jax.lax.slice(pr, (c0 + wl, c0), (rows, c0 + wl))
+        l21i = jax.lax.slice(pi, (c0 + wl, c0), (rows, c0 + wl))
+        qr, qi = _cmatmul(l21r, l21i, u12r, u12i)
+        a22r = jax.lax.slice(rr, (c0 + wl, 0), (rows, wr)) - qr
+        a22i = jax.lax.slice(ri, (c0 + wl, 0), (rows, wr)) - qi
+        rr = jax.lax.dynamic_update_slice(rr, a22r, (c0 + wl, 0))
+        ri = jax.lax.dynamic_update_slice(ri, a22i, (c0 + wl, 0))
+        pr = jax.lax.dynamic_update_slice(pr, rr, (0, c0 + wl))
+        pi = jax.lax.dynamic_update_slice(pi, ri, (0, c0 + wl))
+        pr, pi, p_loc, ok = rec(pr, pi, p_loc, ok, c0 + wl, wr)
+        perm_r = _swap_perm_traced(
+            jax.lax.slice(p_loc, (c0 + wl,), (c0 + w,)), rows, c0 + wl
+        )
+        sub = jax.lax.slice(perm_r, (c0 + wl,), (rows,)) - jnp.int32(c0 + wl)
+        for plane in ("r", "i"):
+            p = pr if plane == "r" else pi
+            lo = takeperm(jax.lax.slice(p, (c0 + wl, c0), (rows, c0 + wl)), sub)
+            p = jax.lax.dynamic_update_slice(p, lo, (c0 + wl, c0))
+            if plane == "r":
+                pr = p
+            else:
+                pi = p
+        return pr, pi, p_loc, ok
+
+    return rec(pr, pi, jnp.zeros(jb, jnp.int32), jnp.array(True), 0, jb)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5, 6, 7, 8))
+def _zlu_step_device_panel(j, jb, num_split, rhi, rlo, ihi_m, ilo_m, ok, piv):
+    """One complex LU step, panel factored on device (platform f64 on
+    (re, im) planes): the complex analogue of :func:`_lu_step_device_panel`.
+    ``rhi/rlo`` are the real-part bit planes, ``ihi_m/ilo_m`` the
+    imaginary-part bit planes."""
+    from .core.f64x import from_f64_dd
+    from .core.gemm import zgemm_f64x
+    from .intercept import f64x_to_f64_traced
+
+    n = rhi.shape[0]
+    rows = n - j
+    pXr = F64X(
+        jax.lax.slice(rhi, (j, j), (n, j + jb)),
+        jax.lax.slice(rlo, (j, j), (n, j + jb)),
+    )
+    pXi = F64X(
+        jax.lax.slice(ihi_m, (j, j), (n, j + jb)),
+        jax.lax.slice(ilo_m, (j, j), (n, j + jb)),
+    )
+    pr = f64x_to_f64_traced(pXr)
+    pi = f64x_to_f64_traced(pXi)
+    pr, pi, p_loc, ok_step = _zpanel_factor_traced(pr, pi, jb)
+    ok = ok & ok_step
+    piv = jax.lax.dynamic_update_slice(piv, jnp.int32(j) + p_loc, (j,))
+    perm_local = _perm_from_ploc_traced(p_loc, rows)
+    perm = jnp.concatenate(
+        [jnp.arange(j, dtype=jnp.int32), jnp.int32(j) + perm_local]
+    )
+    rhi = jnp.take(rhi, perm, axis=0, unique_indices=True)
+    rlo = jnp.take(rlo, perm, axis=0, unique_indices=True)
+    ihi_m = jnp.take(ihi_m, perm, axis=0, unique_indices=True)
+    ilo_m = jnp.take(ilo_m, perm, axis=0, unique_indices=True)
+    pbits_r = from_f64_dd(pr)
+    pbits_i = from_f64_dd(pi)
+    rhi = jax.lax.dynamic_update_slice(rhi, pbits_r.hi, (j, j))
+    rlo = jax.lax.dynamic_update_slice(rlo, pbits_r.lo, (j, j))
+    ihi_m = jax.lax.dynamic_update_slice(ihi_m, pbits_i.hi, (j, j))
+    ilo_m = jax.lax.dynamic_update_slice(ilo_m, pbits_i.lo, (j, j))
+    rest = j + jb
+    if rest < n:
+        def blk(hi, lo, r0, c0, r1, c1):
+            return F64X(
+                jax.lax.slice(hi, (r0, c0), (r1, c1)),
+                jax.lax.slice(lo, (r0, c0), (r1, c1)),
+            )
+
+        invr, invi = _zunit_lower_inverse_traced(
+            jax.lax.slice(pr, (0, 0), (jb, jb)),
+            jax.lax.slice(pi, (0, 0), (jb, jb)),
+        )
+        iXr = from_f64_dd(invr)
+        iXi = from_f64_dd(invi)
+        u12r, u12i = zgemm_f64x(
+            iXr, iXi,
+            blk(rhi, rlo, j, rest, rest, n),
+            blk(ihi_m, ilo_m, j, rest, rest, n),
+            num_split,
+        )
+        rhi = jax.lax.dynamic_update_slice(rhi, u12r.hi, (j, rest))
+        rlo = jax.lax.dynamic_update_slice(rlo, u12r.lo, (j, rest))
+        ihi_m = jax.lax.dynamic_update_slice(ihi_m, u12i.hi, (j, rest))
+        ilo_m = jax.lax.dynamic_update_slice(ilo_m, u12i.lo, (j, rest))
+        c22r, c22i = zgemm_f64x(
+            blk(rhi, rlo, rest, j, n, rest),
+            blk(ihi_m, ilo_m, rest, j, n, rest),
+            u12r, u12i, num_split,
+            alpha=-1.0 + 0j, beta=1.0 + 0j,
+            c_re=blk(rhi, rlo, rest, rest, n, n),
+            c_im=blk(ihi_m, ilo_m, rest, rest, n, n),
+        )
+        rhi = jax.lax.dynamic_update_slice(rhi, c22r.hi, (rest, rest))
+        rlo = jax.lax.dynamic_update_slice(rlo, c22r.lo, (rest, rest))
+        ihi_m = jax.lax.dynamic_update_slice(ihi_m, c22i.hi, (rest, rest))
+        ilo_m = jax.lax.dynamic_update_slice(ilo_m, c22i.lo, (rest, rest))
+    return rhi, rlo, ihi_m, ilo_m, ok, piv
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2), donate_argnums=(3, 4, 5, 6))
+def _zlu_step_device(
+    j, jb, num_split, rhi, rlo, ihi_m, ilo_m, perm,
+    phi_r, plo_r, phi_i, plo_i, vhi_r, vlo_r, vhi_i, vlo_i,
+):
+    """One complex LU step with HOST-factored panel bits (exact complex
+    getrf on host; the complex analogue of :func:`_lu_step_device`):
+    permutation gather, panel writeback, engine TRSM + trailing update."""
+    from .core.gemm import zgemm_f64x
+
+    n = rhi.shape[0]
+    rhi = jnp.take(rhi, perm, axis=0, unique_indices=True)
+    rlo = jnp.take(rlo, perm, axis=0, unique_indices=True)
+    ihi_m = jnp.take(ihi_m, perm, axis=0, unique_indices=True)
+    ilo_m = jnp.take(ilo_m, perm, axis=0, unique_indices=True)
+    rhi = jax.lax.dynamic_update_slice(rhi, phi_r, (j, j))
+    rlo = jax.lax.dynamic_update_slice(rlo, plo_r, (j, j))
+    ihi_m = jax.lax.dynamic_update_slice(ihi_m, phi_i, (j, j))
+    ilo_m = jax.lax.dynamic_update_slice(ilo_m, plo_i, (j, j))
+    rest = j + jb
+    if rest < n:
+        def blk(hi, lo, r0, c0, r1, c1):
+            return F64X(
+                jax.lax.slice(hi, (r0, c0), (r1, c1)),
+                jax.lax.slice(lo, (r0, c0), (r1, c1)),
+            )
+
+        u12r, u12i = zgemm_f64x(
+            F64X(vhi_r, vlo_r), F64X(vhi_i, vlo_i),
+            blk(rhi, rlo, j, rest, rest, n),
+            blk(ihi_m, ilo_m, j, rest, rest, n),
+            num_split,
+        )
+        rhi = jax.lax.dynamic_update_slice(rhi, u12r.hi, (j, rest))
+        rlo = jax.lax.dynamic_update_slice(rlo, u12r.lo, (j, rest))
+        ihi_m = jax.lax.dynamic_update_slice(ihi_m, u12i.hi, (j, rest))
+        ilo_m = jax.lax.dynamic_update_slice(ilo_m, u12i.lo, (j, rest))
+        c22r, c22i = zgemm_f64x(
+            blk(rhi, rlo, rest, j, n, rest),
+            blk(ihi_m, ilo_m, rest, j, n, rest),
+            u12r, u12i, num_split,
+            alpha=-1.0 + 0j, beta=1.0 + 0j,
+            c_re=blk(rhi, rlo, rest, rest, n, n),
+            c_im=blk(ihi_m, ilo_m, rest, rest, n, n),
+        )
+        rhi = jax.lax.dynamic_update_slice(rhi, c22r.hi, (rest, rest))
+        rlo = jax.lax.dynamic_update_slice(rlo, c22r.lo, (rest, rest))
+        ihi_m = jax.lax.dynamic_update_slice(ihi_m, c22i.hi, (rest, rest))
+        ilo_m = jax.lax.dynamic_update_slice(ilo_m, c22i.lo, (rest, rest))
+    return rhi, rlo, ihi_m, ilo_m
+
+
+def _zunit_lower_solve_host(l11: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """L11^-1 @ B for unit-lower complex L11, host f64 (exact LAPACK ztrsm
+    when scipy is present)."""
+    if _sp_solve_triangular is not None:
+        return _sp_solve_triangular(
+            l11, b, lower=True, unit_diagonal=True, check_finite=False
+        )
+    x = b.copy()
+    for i in range(1, l11.shape[0]):
+        x[i, :] -= l11[i, :i] @ x[:i, :]
+    return x
+
+
+def _zlu_factor_device(
+    a: np.ndarray, num_split: int, block: int, profile=None,
+    panel: str = "host", mesh=None, mesh_axis: str = "x",
+) -> Tuple[np.ndarray, np.ndarray]:
+    """Device-resident blocked complex LU: the matrix rides as two F64X
+    plane pairs; trailing updates are 4-pass engine ZGEMMs.  ``panel``
+    selects host complex getrf (exact bits) or the traced on-device
+    platform-f64 factorization (zero per-step host traffic).  Returns
+    (lu complex128, piv)."""
+    import time as _time
+
+    n = a.shape[0]
+    nb = max(1, min(int(block), n))
+    aXr = F64X.from_numpy(np.ascontiguousarray(a.real))
+    aXi = F64X.from_numpy(np.ascontiguousarray(a.imag))
+    rhi = jnp.array(aXr.hi, copy=True)
+    rlo = jnp.array(aXr.lo, copy=True)
+    ihi_m = jnp.array(aXi.hi, copy=True)
+    ilo_m = jnp.array(aXi.lo, copy=True)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        rows_sh = NamedSharding(mesh, PartitionSpec(mesh_axis, None))
+        rhi, rlo, ihi_m, ilo_m = (
+            jax.device_put(x, rows_sh) for x in (rhi, rlo, ihi_m, ilo_m)
+        )
+
+    if panel == "device":
+        ok = jnp.array(True)
+        piv_dev = jnp.arange(n, dtype=jnp.int32)
+        for j in range(0, n, nb):
+            jb = min(nb, n - j)
+            t0 = _time.perf_counter()
+            rhi, rlo, ihi_m, ilo_m, ok, piv_dev = _zlu_step_device_panel(
+                j, jb, num_split, rhi, rlo, ihi_m, ilo_m, ok, piv_dev
+            )
+            if profile is not None:
+                jax.block_until_ready(rhi)
+                profile["device_update_s"] = profile.get(
+                    "device_update_s", 0.0
+                ) + (_time.perf_counter() - t0)
+        if not bool(jax.device_get(ok)):
+            raise np.linalg.LinAlgError("singular matrix: zero pivot")
+        piv = np.asarray(jax.device_get(piv_dev), dtype=np.int64)
+    elif panel == "host":
+        piv = np.arange(n)
+        for j in range(0, n, nb):
+            jb = min(nb, n - j)
+            if profile is not None:
+                jax.block_until_ready(rhi)
+            t0 = _time.perf_counter()
+            pnl = (
+                F64X(
+                    jax.lax.slice(rhi, (j, j), (n, j + jb)),
+                    jax.lax.slice(rlo, (j, j), (n, j + jb)),
+                ).to_numpy()
+                + 1j
+                * F64X(
+                    jax.lax.slice(ihi_m, (j, j), (n, j + jb)),
+                    jax.lax.slice(ilo_m, (j, j), (n, j + jb)),
+                ).to_numpy()
+            ).reshape(n - j, jb)
+            if profile is not None:
+                t1 = _time.perf_counter()
+                profile["panel_pull_s"] = profile.get("panel_pull_s", 0.0) + (
+                    t1 - t0
+                )
+            lu_p, p_loc = _panel_factor_local(pnl, col_offset=j)
+            perm_local = np.arange(n - j)
+            for i in range(jb):
+                p = int(p_loc[i])
+                piv[j + i] = j + p
+                if p != i:
+                    perm_local[[i, p]] = perm_local[[p, i]]
+            perm = np.concatenate([np.arange(j), j + perm_local]).astype(
+                np.int32
+            )
+            l11inv = _zunit_lower_solve_host(
+                lu_p[:jb, :jb], np.eye(jb, dtype=np.complex128)
+            )
+            pXr = F64X.from_numpy(np.ascontiguousarray(lu_p.real))
+            pXi = F64X.from_numpy(np.ascontiguousarray(lu_p.imag))
+            iXr = F64X.from_numpy(np.ascontiguousarray(l11inv.real))
+            iXi = F64X.from_numpy(np.ascontiguousarray(l11inv.imag))
+            rhi, rlo, ihi_m, ilo_m = _zlu_step_device(
+                j, jb, num_split, rhi, rlo, ihi_m, ilo_m,
+                jnp.asarray(perm),
+                pXr.hi, pXr.lo, pXi.hi, pXi.lo,
+                iXr.hi, iXr.lo, iXi.hi, iXi.lo,
+            )
+            if profile is not None:
+                jax.block_until_ready(rhi)
+                profile["device_update_s"] = profile.get(
+                    "device_update_s", 0.0
+                ) + (_time.perf_counter() - t0)
+    else:
+        raise ValueError(f"panel must be 'host' or 'device', got {panel!r}")
+    lu = (
+        F64X(rhi, rlo).to_numpy() + 1j * F64X(ihi_m, ilo_m).to_numpy()
+    ).reshape(n, n)
+    return lu, piv
+
+
 def _resolve_int8_num_split(mode, handle) -> int:
     """Resolve ``mode`` to a fixed int8 split count for the device-resident
     paths (which inline the engine inside per-step jitted programs and so
@@ -667,7 +1119,10 @@ def lu_factor(
     host — see the section comment above ``_lu_factor_device``).  The
     default (None) uses it iff ``a`` is an :class:`F64X`; F64X in ->
     (F64X, piv) out, numpy in -> (numpy, piv) out.  The device variant
-    needs a fixed int8 mode and real input.  ``panel="device"``
+    needs a fixed int8 mode.  Complex128 input is carried as (re, im)
+    F64X plane pairs with 4-pass engine ZGEMM trailing updates
+    (``_zlu_factor_device``); its pivoting uses |re|+|im| (LAPACK
+    dcabs1), so pivot sequences match host getrf.  ``panel="device"``
     additionally factors the pivot panels on device in the platform's
     f64 (true IEEE on CPU, ~49-bit double-float on TPU) — the fully
     resident, remote-tunnel-proof variant; ``"host"`` (default) keeps
@@ -700,9 +1155,11 @@ def lu_factor(
                     f"lu_factor needs a square 2D matrix, got {an.shape}"
                 )
             if np.iscomplexobj(an):
-                raise ValueError(
-                    "device-resident lu_factor is real-only; complex128 "
-                    "input runs the host path (device=False)"
+                # complex device-resident LU: (re, im) F64X plane pairs,
+                # 4-pass engine ZGEMM trailing updates
+                return _zlu_factor_device(
+                    np.ascontiguousarray(an, dtype=np.complex128),
+                    num_split, block, profile, panel, mesh, mesh_axis,
                 )
             ax = F64X.from_numpy(np.ascontiguousarray(an, dtype=np.float64))
         if ax.ndim != 2 or ax.shape[0] != ax.shape[1]:
@@ -1041,10 +1498,12 @@ def cholesky(
                     l21[:, i] - l21[:, :i] @ np.conj(l11[i, :i])
                 ) / np.conj(l11[i, i])
         # engine: trailing Hermitian update A22 -= L21 @ L21^H
+        # (Operation.C is exact here; the reference shim would silently
+        # compute L21 @ L21^T instead, src/cublas.cu:50-56)
         a[rest:, rest:] = gemm(
             np.ascontiguousarray(l21),
-            np.ascontiguousarray(np.conj(l21)),
-            op_b="T",
+            np.ascontiguousarray(l21),
+            op_b="C",
             mode=mode,
             alpha=-1.0,
             beta=1.0,

@@ -302,10 +302,59 @@ class TestDeviceResident:
         with pytest.raises(ValueError, match="fixed fp64_int8"):
             cholesky(a, mode="fp64_int8_auto", device=True)
 
-    def test_device_rejects_complex(self):
-        a = np.eye(16) + 0j
-        with pytest.raises(ValueError, match="real-only"):
-            lu_factor(a, mode="fp64_int8_9", device=True)
+    def test_device_complex_host_panels_matches_host_path(self):
+        # complex device-resident LU (VERDICT r4 item 6): host panels are
+        # exact complex getrf bits, trailing updates exact engine ZGEMMs
+        # -> pivots identical to the all-host path, residual at the gate
+        rng = np.random.default_rng(41)
+        n = 96
+        a = rng.uniform(-1, 1, (n, n)) + 1j * rng.uniform(-1, 1, (n, n))
+        lu_d, piv_d = lu_factor(a, mode="fp64_int8_9", block=32, device=True)
+        lu_h, piv_h = lu_factor(a, mode="fp64_int8_9", block=32, device=False)
+        assert lu_d.dtype == np.complex128
+        np.testing.assert_array_equal(piv_d, piv_h)
+        l = np.tril(lu_d, -1) + np.eye(n)
+        u = np.triu(lu_d)
+        pa = a.copy()
+        for i in range(n):
+            p = piv_d[i]
+            if p != i:
+                pa[[i, p], :] = pa[[p, i], :]
+        r = np.linalg.norm(l @ u - pa) / np.linalg.norm(a)
+        assert r < 1e-14
+
+    def test_device_complex_device_panels(self):
+        # fully resident complex variant: platform-f64 panels on device,
+        # |re|+|im| pivoting (LAPACK dcabs1) -> same pivot sequence as
+        # host getrf on ties-free random data
+        rng = np.random.default_rng(42)
+        n = 64
+        a = rng.uniform(-1, 1, (n, n)) + 1j * rng.uniform(-1, 1, (n, n))
+        lu_d, piv_d = lu_factor(
+            a, mode="fp64_int8_9", block=32, device=True, panel="device"
+        )
+        lu_h, piv_h = lu_factor(a, mode="fp64_int8_9", block=32, device=False)
+        np.testing.assert_array_equal(piv_d, piv_h)
+        l = np.tril(lu_d, -1) + np.eye(n)
+        u = np.triu(lu_d)
+        pa = a.copy()
+        for i in range(n):
+            p = piv_d[i]
+            if p != i:
+                pa[[i, p], :] = pa[[p, i], :]
+        r = np.linalg.norm(l @ u - pa) / np.linalg.norm(a)
+        assert r < 1e-14
+
+    def test_device_complex_solve_end_to_end(self):
+        rng = np.random.default_rng(43)
+        n = 48
+        a = rng.uniform(-1, 1, (n, n)) + 1j * rng.uniform(-1, 1, (n, n))
+        a += n * np.eye(n)
+        x_true = rng.uniform(-1, 1, n) + 1j * rng.uniform(-1, 1, n)
+        b = a @ x_true
+        fac = lu_factor(a, mode="fp64_int8_9", block=16, device=True)
+        x = lu_solve(fac, b)
+        assert np.linalg.norm(x - x_true) / np.linalg.norm(x_true) < 1e-13
 
     def test_profile_dict_populated(self):
         rng = np.random.default_rng(35)
