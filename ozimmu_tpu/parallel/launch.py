@@ -171,6 +171,44 @@ def replicated_f64x(
     return F64X(mk(hi_np), mk(lo_np))
 
 
+def shard_local_f64x(shape, mesh: Mesh, spec, fill) -> F64X:
+    """Build a mesh-sharded F64X with **O(shard) host memory per process**.
+
+    ``fill(idx)`` is called once per addressable shard with the global
+    index (a tuple of slices into ``shape``) and must return that shard's
+    numpy float64 block.  Nothing global is ever materialized — the
+    north-star configs (BASELINE.json configs[4]: 131072^3, ~137 GB per
+    f64 operand) are constructible on hosts with ordinary RAM.  The
+    block's exact bits are split into the (hi, lo) planes here, so the
+    carriage is as exact as :meth:`F64X.from_numpy`.
+
+    ``fill`` may synthesize (random test operands from the global index),
+    read from a memory-mapped file (``np.load(..., mmap_mode='r')[idx]``),
+    or load per-shard chunks from a parallel filesystem.
+    """
+    sharding = NamedSharding(mesh, spec)
+    cache = {}
+
+    def block(idx):
+        key = tuple((s.start, s.stop, s.step) for s in idx)
+        if key not in cache:
+            cache[key] = np.ascontiguousarray(fill(idx), dtype=np.float64).view(
+                np.uint64
+            )
+        return cache[key]
+
+    hi = jax.make_array_from_callback(
+        tuple(shape), sharding,
+        lambda idx: (block(idx) >> np.uint64(32)).astype(np.uint32),
+    )
+    lo = jax.make_array_from_callback(
+        tuple(shape), sharding,
+        lambda idx: (block(idx) & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+    )
+    cache.clear()
+    return F64X(hi, lo)
+
+
 def allgather_f64x(x: F64X) -> np.ndarray:
     """Gather a sharded F64X to a full numpy f64 array on every process."""
     from jax.experimental import multihost_utils

@@ -234,6 +234,19 @@ class TestShardedZgemm:
         assert c.shape == (34, 26)
         assert error_metrics(c, a, b)["relative_residual"] < 1e-15
 
+    def test_conjugate_transpose_bitwise(self, mesh):
+        # op C distributed == op C single-chip (which is itself verified
+        # against numpy conj in test_api) — bitwise
+        import ozimmu_tpu as oz
+
+        a = generate_input("normal01", (64, 32), seed=59, complex_=True)
+        b = generate_input("normal01", (32, 64), seed=60, complex_=True)
+        c_dist = sharded_gemm(a, b, 9, mesh, op_a="C", op_b="C")
+        c_local = oz.gemm(a, b, mode="fp64_int8_9", op_a="C", op_b="C")
+        np.testing.assert_array_equal(
+            c_dist.view(np.complex128), c_local.view(np.complex128)
+        )
+
 
 @pytest.fixture(scope="module")
 def square_mesh():
@@ -486,34 +499,50 @@ class TestVariantSelection:
     """select_variant / sharded_gemm_auto: topology->variant policy."""
 
     def test_policy(self, mesh):
-        from ozimmu_tpu.parallel.gemm import select_variant
+        import pytest
+
+        from ozimmu_tpu.parallel.gemm import (
+            ring_device_bytes,
+            select_variant,
+            stream_device_bytes,
+            summa_device_bytes,
+        )
 
         # tall-k, real -> 1D k-sharded
         assert select_variant(64, 64, 65536, 9, mesh) == "k"
-        # tall-k whose resident m*n output block busts the budget -> not k
-        assert (
+        # tall-k whose resident m*n output block busts the budget -> the
+        # selector must not return k; nothing else fits 1 MiB either, so
+        # the honest answer is a ValueError (r4's selector knowingly
+        # returned an infeasible "summa" here)
+        with pytest.raises(ValueError, match="no distributed variant"):
             select_variant(4096, 4096, 1 << 20, 9, mesh, hbm_bytes=1 << 20)
-            != "k"
-        )
         # tall-k complex -> k too (sharded_zgemm_k_fn)
         assert select_variant(64, 64, 65536, 9, mesh, complex_=True) == "k"
         # comfortable fit -> summa
         assert select_variant(256, 256, 256, 9, mesh, hbm_bytes=1 << 30) == "summa"
-        # over budget on a square mesh -> ring
-        import jax
-        from jax.sharding import Mesh
+        # over budget for summa on a square mesh, ring fits -> ring.
+        # (At q=2 the two memory models coincide exactly — ring's 2
+        # panels of k/2 equal summa's full-k slab — so the strict case
+        # needs q>=3; the selector only reads mesh.shape, so a shape
+        # stub stands in for a 9-device mesh.)
+        class _FakeMesh:
+            shape = {"x": 3, "y": 3}
 
-        if len(jax.devices()) >= 4:
-            sq = Mesh(np.array(jax.devices()[:4]).reshape(2, 2), ("x", "y"))
-            assert (
-                select_variant(4096, 4096, 4096, 9, sq, hbm_bytes=1 << 20)
-                == "ring"
-            )
-            # rectangular meshes cannot ring -> summa even over budget
+        budget = ring_device_bytes(4096, 4096, 4096, 9, 3)
+        assert summa_device_bytes(4096, 4096, 4096, 9, 3, 3) > budget
         assert (
-            select_variant(4096, 4096, 4096, 9, mesh, hbm_bytes=1 << 20)
-            in ("summa", "ring")
+            select_variant(4096, 4096, 4096, 9, _FakeMesh(), hbm_bytes=budget)
+            == "ring"
         )
+        # rectangular meshes cannot ring: over summa's budget the
+        # panel-streamed variant takes over
+        xs, ys = mesh.shape["x"], mesh.shape["y"]
+        budget = stream_device_bytes(4096, 4096, 4096, 9, xs, ys)
+        if summa_device_bytes(4096, 4096, 4096, 9, xs, ys) > budget:
+            assert (
+                select_variant(4096, 4096, 4096, 9, mesh, hbm_bytes=budget)
+                == "stream"
+            )
 
     def test_auto_dispatch_bitwise(self, mesh):
         import ozimmu_tpu as oz
@@ -720,3 +749,236 @@ class TestKShardedComplex:
             np.ascontiguousarray(got).view(np.uint64),
             np.ascontiguousarray(want).view(np.uint64),
         )
+
+
+class TestShardLocalOperands:
+    """North-star-scale feeding (VERDICT r4 item 3): per-shard synthesis
+    via make_array_from_callback + the pre-sharded GEMM entries — no
+    process ever materializes a global operand."""
+
+    def test_shard_local_matches_from_numpy(self, mesh):
+        from jax.sharding import PartitionSpec as P
+
+        from ozimmu_tpu.core.f64x import F64X
+        from ozimmu_tpu.parallel.launch import shard_local_f64x
+
+        rng = np.random.default_rng(90)
+        full = rng.normal(size=(32, 64)) * np.exp2(
+            rng.integers(-8, 8, (32, 64)).astype(np.float64)
+        )
+        calls = []
+
+        def fill(idx):
+            calls.append(idx)
+            return full[idx]
+
+        x = shard_local_f64x((32, 64), mesh, P("x", "y"), fill)
+        # one synthesis per addressable shard (hi/lo share the cache)
+        assert len(calls) == len(mesh.devices.flatten())
+        np.testing.assert_array_equal(
+            x.to_numpy().reshape(32, 64).view(np.uint64), full.view(np.uint64)
+        )
+
+    def test_presharded_gemm_bitwise(self, mesh):
+        import ozimmu_tpu as oz
+        from jax.sharding import PartitionSpec as P
+
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_presharded
+        from ozimmu_tpu.parallel.launch import shard_local_f64x
+
+        rng = np.random.default_rng(91)
+        m, k, n = 32, 64, 32
+        fa = rng.normal(size=(m, k))
+        fb = rng.normal(size=(k, n))
+        a = shard_local_f64x((m, k), mesh, P("x", "y"), lambda i: fa[i])
+        b = shard_local_f64x((k, n), mesh, P("x", "y"), lambda i: fb[i])
+        out = sharded_gemm_presharded(a, b, 9, mesh)
+        want = oz.gemm(fa, fb, mode="fp64_int8_9")
+        np.testing.assert_array_equal(
+            out.to_numpy().reshape(m, n).view(np.uint64), want.view(np.uint64)
+        )
+
+    def test_presharded_gemm_epilogue(self, mesh):
+        import ozimmu_tpu as oz
+        from jax.sharding import PartitionSpec as P
+
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_presharded
+        from ozimmu_tpu.parallel.launch import shard_local_f64x
+
+        rng = np.random.default_rng(92)
+        m, k, n = 16, 32, 16
+        fa, fb = rng.normal(size=(m, k)), rng.normal(size=(k, n))
+        fc = rng.normal(size=(m, n))
+        mk = lambda f, s: shard_local_f64x(s, mesh, P("x", "y"), lambda i: f[i])
+        out = sharded_gemm_presharded(
+            mk(fa, (m, k)), mk(fb, (k, n)), 9, mesh,
+            alpha=1.5, beta=-0.5, c=mk(fc, (m, n)),
+        )
+        want = oz.gemm(fa, fb, mode="fp64_int8_9", alpha=1.5, beta=-0.5, c=fc)
+        np.testing.assert_array_equal(
+            out.to_numpy().reshape(m, n).view(np.uint64), want.view(np.uint64)
+        )
+
+    def test_presharded_rejects_indivisible(self, mesh):
+        # the check fires before any device work (construction via
+        # shard_local_f64x already enforces divisibility per axis; this
+        # guards operands built by other means, e.g. host F64X)
+        from ozimmu_tpu.core.f64x import F64X
+        from ozimmu_tpu.parallel.gemm import sharded_gemm_presharded
+
+        a = F64X.from_numpy(np.zeros((32, 30)))
+        b = F64X.from_numpy(np.zeros((30, 32)))
+        with pytest.raises(ValueError, match="divide the mesh"):
+            sharded_gemm_presharded(a, b, 9, mesh)
+
+    def test_presharded_zgemm_conj_bitwise(self, mesh):
+        import ozimmu_tpu as oz
+        from jax.sharding import PartitionSpec as P
+
+        from ozimmu_tpu.parallel.gemm import sharded_zgemm_presharded
+        from ozimmu_tpu.parallel.launch import shard_local_f64x
+
+        rng = np.random.default_rng(93)
+        m, k, n = 16, 32, 16
+        za = rng.normal(size=(m, k)) + 1j * rng.normal(size=(m, k))
+        zb = rng.normal(size=(k, n)) + 1j * rng.normal(size=(k, n))
+        mk = lambda f, s: shard_local_f64x(s, mesh, P("x", "y"), lambda i: f[i])
+        out_re, out_im = sharded_zgemm_presharded(
+            mk(za.real.copy(), (m, k)), mk(za.imag.copy(), (m, k)),
+            mk(zb.real.copy(), (k, n)), mk(zb.imag.copy(), (k, n)),
+            9, mesh, conj_b=True,
+        )
+        got = out_re.to_numpy().reshape(m, n) + 1j * out_im.to_numpy().reshape(m, n)
+        want = oz.gemm(za, np.conj(zb), mode="fp64_int8_9")
+        np.testing.assert_array_equal(
+            got.view(np.uint64).reshape(m, 2 * n),
+            np.ascontiguousarray(want).view(np.uint64).reshape(m, 2 * n),
+        )
+
+    def test_131072_shape_plan_constructible(self, mesh):
+        # the north-star shape must be CONSTRUCTIBLE with O(shard) host
+        # memory: synthesize only one row-block of a 131072^2 operand's
+        # shards lazily and verify no global allocation is attempted.
+        # (We don't run the GEMM — 16 GB/device doesn't exist here — we
+        # prove the feeding path scales.)
+        from jax.sharding import PartitionSpec as P
+
+        from ozimmu_tpu.parallel.launch import shard_local_f64x
+
+        nbig = 131072
+        seen = []
+
+        def fill(idx):
+            r = (idx[0].stop or nbig) - (idx[0].start or 0)
+            c = (idx[1].stop or nbig) - (idx[1].start or 0)
+            seen.append((r, c))
+            # per-shard synthesis from the global index — deterministic,
+            # no global array
+            return np.zeros((r, c))
+
+        # 8 devices -> shard is nbig/2 x nbig/4 x 8 B = 4.3 GB... still too
+        # big to allocate in this test; use a 1024-row slice of the plan to
+        # keep the assertion cheap while exercising the same code path.
+        x = shard_local_f64x((1024, nbig), mesh, P("x", "y"), fill)
+        assert x.shape == (1024, nbig)
+        assert all(r <= 512 and c <= nbig // 4 + 1 for r, c in seen)
+
+
+class TestStreamVariant:
+    """Panel-streamed true SUMMA (rectangular meshes) + the budget-honest
+    select_variant (VERDICT r4 item 4)."""
+
+    def test_stream_bitwise_real(self, mesh):
+        import ozimmu_tpu as oz
+
+        a = generate_input("normal01", (32, 64), seed=100)
+        b = generate_input("normal01", (64, 32), seed=101)
+        got = sharded_gemm(a, b, 9, mesh, variant="stream")
+        want = oz.gemm(a, b, mode="fp64_int8_9")
+        np.testing.assert_array_equal(got.view(np.uint64), want.view(np.uint64))
+
+    def test_stream_bitwise_epilogue(self, mesh):
+        import ozimmu_tpu as oz
+
+        a = generate_input("exp_rand-2", (16, 32), seed=102)
+        b = generate_input("exp_rand-2", (32, 16), seed=103)
+        c0 = generate_input("normal01", (16, 16), seed=104)
+        got = sharded_gemm(
+            a, b, 10, mesh, variant="stream", alpha=1.5, beta=-0.5, c=c0
+        )
+        want = oz.gemm(a, b, mode="fp64_int8_10", alpha=1.5, beta=-0.5, c=c0)
+        np.testing.assert_array_equal(got.view(np.uint64), want.view(np.uint64))
+
+    def test_stream_bitwise_complex(self, mesh):
+        import ozimmu_tpu as oz
+
+        a = generate_input("normal01", (16, 32), seed=105, complex_=True)
+        b = generate_input("normal01", (32, 16), seed=106, complex_=True)
+        got = sharded_gemm(a, b, 9, mesh, variant="stream")
+        want = oz.gemm(a, b, mode="fp64_int8_9")
+        np.testing.assert_array_equal(
+            got.view(np.complex128), want.view(np.complex128)
+        )
+
+    def test_select_variant_never_over_budget(self, mesh):
+        # property: every returned plan's own memory model fits the
+        # budget, or select_variant raises — it can no longer return a
+        # knowingly-infeasible plan (the r4 hole: non-square mesh with
+        # over-budget slabs returned "summa" anyway)
+        from ozimmu_tpu.parallel.gemm import (
+            ring_device_bytes,
+            select_variant,
+            stream_device_bytes,
+            summa_device_bytes,
+        )
+
+        xs, ys = mesh.shape["x"], mesh.shape["y"]
+        models = {
+            "summa": lambda m, n, k, ns, cx: summa_device_bytes(m, n, k, ns, xs, ys, cx),
+            "ring": lambda m, n, k, ns, cx: ring_device_bytes(m, n, k, ns, xs, cx),
+            "stream": lambda m, n, k, ns, cx: stream_device_bytes(m, n, k, ns, xs, ys, cx),
+        }
+        rng = np.random.default_rng(0)
+        checked = raised = 0
+        for _ in range(200):
+            m = int(rng.integers(1, 9)) * 4096
+            n = int(rng.integers(1, 9)) * 4096
+            k = int(rng.integers(1, 17)) * 4096
+            ns = int(rng.integers(3, 19))
+            cx = bool(rng.integers(0, 2))
+            budget = int(rng.integers(1, 64)) << 27  # 128 MB .. 8 GB
+            try:
+                v = select_variant(
+                    m, n, k, ns, mesh, complex_=cx, hbm_bytes=budget
+                )
+            except ValueError:
+                # honest refusal: even the leanest model must not fit
+                assert stream_device_bytes(m, n, k, ns, xs, ys, cx) > budget
+                raised += 1
+                continue
+            if v == "k":
+                continue
+            assert models[v](m, n, k, ns, cx) <= budget, (v, m, n, k, ns, cx)
+            checked += 1
+        assert checked > 20 and raised > 0  # the sweep hit both regimes
+
+    def test_nonsquare_over_budget_selects_stream_and_runs(self, mesh, monkeypatch):
+        # the r4 hole, end-to-end: rectangular mesh, slabs over a tiny
+        # budget -> "stream" is selected AND the plan actually executes
+        import ozimmu_tpu as oz
+        from ozimmu_tpu.parallel.gemm import select_variant, sharded_gemm_auto
+
+        xs, ys = mesh.shape["x"], mesh.shape["y"]
+        assert xs != ys  # 8 devices -> 2x4 or 4x2
+        # at 512x2048x512 ns=9 on a 2x4 mesh: summa models 9.62 MB/device,
+        # stream 8.5 MB -> a 9 MB budget forces the rectangular-stream path
+        monkeypatch.setenv("OZIMMU_HBM_BUDGET_MB", "9")
+        m = n = 512
+        k = 2048
+        v = select_variant(m, n, k, 9, mesh)
+        assert v == "stream"
+        a = generate_input("urand01", (m, k), seed=107)
+        b = generate_input("urand01", (k, n), seed=108)
+        got = sharded_gemm_auto(a, b, 9, mesh)
+        want = oz.gemm(a, b, mode="fp64_int8_9")
+        np.testing.assert_array_equal(got.view(np.uint64), want.view(np.uint64))
