@@ -56,6 +56,15 @@ def _round_up(x: int, m: int) -> int:
     return -(-x // m) * m
 
 
+def _fold_experiment() -> str:
+    """Measurement-only fold-variant switch (read at trace time).  Empty
+    (production) = the exact triple-f32 fold; "double2" = the inexact
+    2-component falsification variant documented in the kernel below."""
+    import os
+
+    return os.environ.get("OZIMMU_FOLD_EXPERIMENT", "")
+
+
 def _make_kernel(num_split: int, b: int, k_true: int):
     # group caps derive from the true contraction length (zero padding
     # cannot increase magnitudes) and must match the XLA path's grouping
@@ -87,15 +96,41 @@ def _make_kernel(num_split: int, b: int, k_true: int):
                 jnp.zeros_like(o0_ref),
                 jnp.zeros_like(o0_ref),
             )
-            for g, gref in zip(groups, gacc):
-                d = gref[:]
-                w = g.weight_log2(b) + shift
-                hi = jax.lax.shift_right_arithmetic(d, 16)
-                lo = d - jax.lax.shift_left(hi, 16)
-                acc = tf32x3.add_term(
-                    acc, hi.astype(jnp.float32) * np.float32(2.0 ** (w + 16))
-                )
-                acc = tf32x3.add_term(acc, lo.astype(jnp.float32) * np.float32(2.0**w))
+            if _fold_experiment() == "double2":
+                # MEASUREMENT-ONLY fold variant (OZIMMU_FOLD_EXPERIMENT=
+                # double2): a 2-component cascade (7 f32 ops/term) instead
+                # of the exact 3-component one (13 ops/term).  ~48-bit
+                # accumulator — NOT exact, never a production path; exists
+                # to falsify "the fold cost is reducible": if even this
+                # ~2x-cheaper fold doesn't move end-to-end time, the fold
+                # is VPU-issue-slot-bound and §11's speed-of-light claim
+                # closes (VERDICT r4 weak #3 / next #8).
+                d0 = jnp.zeros_like(o0_ref)
+                d1 = jnp.zeros_like(o0_ref)
+                for g, gref in zip(groups, gacc):
+                    d = gref[:]
+                    w = g.weight_log2(b) + shift
+                    hi = jax.lax.shift_right_arithmetic(d, 16)
+                    lo = d - jax.lax.shift_left(hi, 16)
+                    for term in (
+                        hi.astype(jnp.float32) * np.float32(2.0 ** (w + 16)),
+                        lo.astype(jnp.float32) * np.float32(2.0**w),
+                    ):
+                        s, e = tf32x3.two_sum(d0, term)
+                        d0, d1 = s, d1 + e
+                acc = (d0, d1, jnp.zeros_like(d0))
+            else:
+                for g, gref in zip(groups, gacc):
+                    d = gref[:]
+                    w = g.weight_log2(b) + shift
+                    hi = jax.lax.shift_right_arithmetic(d, 16)
+                    lo = d - jax.lax.shift_left(hi, 16)
+                    acc = tf32x3.add_term(
+                        acc, hi.astype(jnp.float32) * np.float32(2.0 ** (w + 16))
+                    )
+                    acc = tf32x3.add_term(
+                        acc, lo.astype(jnp.float32) * np.float32(2.0**w)
+                    )
             t = tf32x3.renorm(acc)
             o0_ref[:] = t[0]
             o1_ref[:] = t[1]
@@ -117,11 +152,12 @@ def _pick_blocks(ns: int, n_groups: int, m: int, n: int, k: int,
     budget = int(
         float(os.environ.get("OZIMMU_VMEM_BUDGET_MB", 12)) * 1024 * 1024
     )
+    bm0, bn0, bk0 = bm, bn, bk
     while True:
         slabs = 2 * ns * bk * (bm + bn)  # double-buffered int8 in-blocks
         accs = 4 * (n_groups + 3) * bm * bn  # int32 group accs + f32 triple
         if slabs + accs <= budget or (bk <= 128 and bm <= 128 and bn <= 128):
-            return bm, bn, bk
+            break
         # shrink while preserving the (8, 128) tile granule
         if bk > 128:
             bk = max(128, (bk // 2 // 128) * 128)
@@ -130,6 +166,16 @@ def _pick_blocks(ns: int, n_groups: int, m: int, n: int, k: int,
                 bm = max(128, (bm // 2 // 128) * 128)
             else:
                 bn = max(128, (bn // 2 // 128) * 128)
+    if (bm, bn, bk) != (bm0, bn0, bk0):
+        # observable in bench logs (see split_pallas: calibration guard)
+        from ..utils.log import log
+
+        log(
+            f"recombine_pallas: VMEM model shrank blocks "
+            f"({bm0}, {bn0}, {bk0}) -> ({bm}, {bn}, {bk}) at ns={ns} "
+            f"(m={m} n={n} k={k})"
+        )
+    return bm, bn, bk
 
 
 @partial(jax.jit, static_argnums=(2, 3, 4, 5, 6, 7, 8), inline=True)

@@ -158,6 +158,7 @@ def split_digits_pallas(
     # ~15.5 MiB actual) and shrinks ns>=10, which previously OOMed at
     # compile time on large shapes (model underestimates by ~0.5 MiB of
     # index/e-block overhead).
+    br0, bc0 = br, bc
     while br * bc * (2 * (2 * 4 + num_split) + 26) > int(15.4 * 1024 * 1024) and (
         bc > 128 or br > 8
     ):
@@ -166,6 +167,16 @@ def split_digits_pallas(
             bc = max(128, (bc // 2 // 128) * 128)
         else:
             br = max(8, (br // 2 // 8) * 8)
+    if (br, bc) != (br0, bc0):
+        # observable in bench logs: the VMEM model is calibrated against
+        # the current toolchain — a compiler upgrade that silently lands
+        # shapes in this slow path would otherwise regress unnoticed
+        from ..utils.log import log
+
+        log(
+            f"split_pallas: VMEM model shrank block ({br0}, {bc0}) -> "
+            f"({br}, {bc}) at ns={num_split} (shape {R}x{C})"
+        )
     r_pad = _round_up(R, br)
     c_pad = _round_up(C, bc)
     if (r_pad, c_pad) != (R, C):
