@@ -358,6 +358,7 @@ def run_hpl(
     warmup: bool = False,
     profile: bool = False,
     panel: str = "auto",
+    seed: int = 0,
 ) -> int:
     """HPL-class solver benchmark: blocked LU factor + solve on the engine
     (the reference's motivating workload — its shim exists to accelerate
@@ -395,7 +396,7 @@ def run_hpl(
         panel = "device" if (
             device_resident and jax.default_backend() != "cpu"
         ) else "host"
-    rng_b = np.random.default_rng(99)
+    rng_b = np.random.default_rng(99 + seed)
     x_true = rng_b.standard_normal(size)
 
     if device_resident:
@@ -409,14 +410,37 @@ def run_hpl(
             u = u.at[idx, idx].set(jnp.float32(size))
             return from_f32(u)
 
-        ax = jax.jit(gen)(jax.random.PRNGKey(0))
+        ax = jax.jit(gen)(jax.random.PRNGKey(seed))
         jax.block_until_ready(ax.hi)
         norm_a = float(jnp.linalg.norm(_f64x_to_f32(ax)))
-        # b = A @ x_true through the engine (exact to one f64 rounding)
-        xX = F64X.from_numpy(np.ascontiguousarray(x_true[:, None]))
         import ozimmu_tpu as oz
 
-        b = oz.gemm(ax, xX, mode="fp64_int8_12").to_numpy().reshape(-1)
+        def matvec(v, alpha=1.0, beta=0.0, c=None):
+            # engine matvec in row blocks: column-panel chunking cannot
+            # help an n x 1 B, and the unchunked setup gemm's ns=12
+            # split planes (12 * n^2 int8) + temps OOM 16 GB at
+            # n=16384 — cap the split-A working set at ~1 GiB instead.
+            # Row blocking is bitwise-exact (each output row's full-k
+            # contraction stays within one engine call).
+            vX = F64X.from_numpy(np.ascontiguousarray(v[:, None]))
+            rows = max(256, min(size, (1 << 30) // (12 * size)) // 256 * 256)
+            out = np.empty(size)
+            for r0 in range(0, size, rows):
+                r1 = min(r0 + rows, size)
+                cX = None
+                if c is not None:
+                    cX = F64X.from_numpy(
+                        np.ascontiguousarray(c[r0:r1, None])
+                    )
+                blk = F64X(ax.hi[r0:r1], ax.lo[r0:r1])
+                out[r0:r1] = oz.gemm(
+                    blk, vX, mode="fp64_int8_12",
+                    alpha=alpha, beta=beta, c=cX,
+                ).to_numpy().reshape(-1)
+            return out
+
+        # b = A @ x_true through the engine (exact to one f64 rounding)
+        b = matvec(x_true)
 
         def factor(prof=None):
             return linalg.lu_factor(
@@ -425,7 +449,7 @@ def run_hpl(
 
         a_for_solve = ax
     else:
-        a = generate_input("urand01", (size, size), seed=0)
+        a = generate_input("urand01", (size, size), seed=seed)
         a = a + size * np.eye(size)  # diagonally dominant
         norm_a = np.linalg.norm(a)
         b = a @ x_true
@@ -449,15 +473,7 @@ def run_hpl(
 
     x = linalg.solve(a_for_solve, b, factor=fac, refine=refine)
     if device_resident:
-        rX = oz.gemm(
-            ax,
-            F64X.from_numpy(np.ascontiguousarray(x[:, None])),
-            mode="fp64_int8_12",
-            alpha=-1.0,
-            beta=1.0,
-            c=F64X.from_numpy(np.ascontiguousarray(b[:, None])),
-        )
-        r_vec = rX.to_numpy().reshape(-1)  # b - A @ x
+        r_vec = matvec(x, alpha=-1.0, beta=1.0, c=b)  # b - A @ x
     else:
         r_vec = b - a_for_solve @ x
     resid = np.linalg.norm(r_vec) / (
@@ -534,11 +550,12 @@ def main(argv=None) -> int:
         q.add_argument("--panel", default="auto", choices=["auto", "host", "device"])
         q.add_argument("--warmup", action="store_true")
         q.add_argument("--profile", action="store_true")
+        q.add_argument("--seed", type=int, default=0)
         ar = q.parse_args(argv)
         return run_hpl(
             ar.mode, ar.size, ar.block, ar.refine,
             device=ar.device, warmup=ar.warmup, profile=ar.profile,
-            panel=ar.panel,
+            panel=ar.panel, seed=ar.seed,
         )
     if argv and argv[0] == "power":
         q = argparse.ArgumentParser()
