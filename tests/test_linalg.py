@@ -45,6 +45,7 @@ class TestLuFactor:
         rd = _pa_lu_residual(a, lud, pivd)
         assert r9 < 2 * rd + 1e-15
 
+    @pytest.mark.slow
     def test_block_edge_cases(self):
         rng = np.random.default_rng(2)
         a = rng.uniform(-1, 1, size=(130, 130))  # n not a block multiple
@@ -194,6 +195,7 @@ class TestCholesky:
         l = cholesky(a, mode="fp64_int8_9", block=1)
         assert np.linalg.norm(a - l @ l.T) / np.linalg.norm(a) < 1e-14
 
+    @pytest.mark.slow
     def test_hermitian_complex(self):
         rng = np.random.default_rng(12)
         a = _spd(rng, 160, complex_=True)
@@ -253,6 +255,7 @@ class TestDeviceResident:
         # pivots are genuine partial pivots: each at or below the diagonal
         assert all(piv[i] >= i for i in range(384))
 
+    @pytest.mark.slow
     def test_lu_f64x_in_f64x_out(self):
         from ozimmu_tpu.core.f64x import F64X
 
@@ -278,6 +281,7 @@ class TestDeviceResident:
         x = solve(aX, b, mode="fp64_int8_6", block=64, refine=2)
         assert _solve_residual(a, x, b) < 1e-15
 
+    @pytest.mark.slow
     def test_cholesky_device_residual(self):
         rng = np.random.default_rng(33)
         a = _spd(rng, 200)
@@ -302,6 +306,7 @@ class TestDeviceResident:
         with pytest.raises(ValueError, match="fixed fp64_int8"):
             cholesky(a, mode="fp64_int8_auto", device=True)
 
+    @pytest.mark.slow
     def test_device_complex_host_panels_matches_host_path(self):
         # complex device-resident LU (VERDICT r4 item 6): host panels are
         # exact complex getrf bits, trailing updates exact engine ZGEMMs
@@ -345,6 +350,7 @@ class TestDeviceResident:
         r = np.linalg.norm(l @ u - pa) / np.linalg.norm(a)
         assert r < 1e-14
 
+    @pytest.mark.slow
     def test_device_complex_solve_end_to_end(self):
         rng = np.random.default_rng(43)
         n = 48
@@ -371,6 +377,7 @@ class TestDevicePanels:
     path there), making the factorization a chain of async device steps
     with no per-step host traffic (remote-tunnel-proof)."""
 
+    @pytest.mark.slow
     def test_residual_and_pivots_match_host_panel(self):
         rng = np.random.default_rng(50)
         a = rng.uniform(-1, 1, size=(384, 384))
@@ -398,6 +405,7 @@ class TestDevicePanels:
             lu_factor(a, mode="fp64_int8_9", block=8, device=True,
                       panel="device")
 
+    @pytest.mark.slow
     def test_pivoting_actually_pivots(self):
         # anti-diagonal-ish matrix: every step must swap
         n = 64
@@ -408,6 +416,7 @@ class TestDevicePanels:
         assert _pa_lu_residual(a, lu, piv) < 1e-14
         assert any(piv[i] != i for i in range(n))
 
+    @pytest.mark.slow
     def test_solve_with_device_panels_and_refinement(self):
         from ozimmu_tpu.core.f64x import F64X
 
@@ -441,6 +450,7 @@ class TestShardedLU:
             pytest.skip("needs 8 virtual devices")
         return Mesh(np.array(jax.devices()[:8]), ("x",))
 
+    @pytest.mark.slow
     def test_bitwise_same_as_single_device_host_panel(self):
         # host panels: every on-device op is exact (int32 dots, fixed
         # fold tree, elementwise epilogue) -> sharding cannot change bits
@@ -459,6 +469,7 @@ class TestShardedLU:
         )
         assert _pa_lu_residual(a, lu_s, piv_s) < 1e-14
 
+    @pytest.mark.slow
     def test_device_panel_matches_single_device(self):
         # device panels run platform-f64 matmuls (TRSM/inverse blocks)
         # whose reduction blocking is shape-dependent in XLA, so sharding
@@ -479,6 +490,7 @@ class TestShardedLU:
         assert rel < 1e-13, rel
         assert _pa_lu_residual(a, lu_s, piv_s) < 1e-14
 
+    @pytest.mark.slow
     def test_sharded_cholesky_bitwise(self):
         from ozimmu_tpu.linalg import cholesky
 
@@ -512,7 +524,14 @@ class TestTracedPanelHelpers:
     pivot SEQUENCE and the factorization up to platform-f64 roundoff)."""
 
     @pytest.mark.parametrize(
-        "rows,jb", [(7, 3), (33, 17), (128, 96), (200, 64), (100, 1)]
+        "rows,jb",
+        [
+            (7, 3),
+            (33, 17),
+            pytest.param(128, 96, marks=pytest.mark.slow),
+            pytest.param(200, 64, marks=pytest.mark.slow),
+            (100, 1),
+        ],
     )
     def test_panel_matches_numpy(self, rows, jb):
         import jax
@@ -576,6 +595,7 @@ class TestFromF64DD:
         out = from_f64_dd(jnp.asarray(v, dtype=jnp.float64)).to_numpy()
         np.testing.assert_array_equal(out.view(np.uint64), v.view(np.uint64))
 
+    @pytest.mark.slow
     def test_subnormals_flush_to_signed_zero(self):
         # XLA:CPU's own f64 arithmetic flushes subnormals (x * 1.0 == 0),
         # so the documented contract is signed-zero conversion

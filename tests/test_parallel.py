@@ -107,6 +107,7 @@ class TestShardedEpilogue:
             c_dist.view(np.uint64), c_local.view(np.uint64)
         )
 
+    @pytest.mark.slow
     def test_alpha_beta_bitwise_ksharded(self):
         import ozimmu_tpu as oz
         from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
@@ -221,6 +222,7 @@ class TestShardedZgemm:
             c_dist.view(np.complex128), c_local.view(np.complex128)
         )
 
+    @pytest.mark.slow
     def test_accuracy_gate(self, mesh):
         a = generate_input("exp_rand-2", (64, 128), seed=55, complex_=True)
         b = generate_input("exp_rand-2", (128, 64), seed=56, complex_=True)
@@ -623,6 +625,7 @@ class TestDistributedAuto:
         )
         assert sharded_auto_mode_select(a, b, mesh) == want
 
+    @pytest.mark.slow
     def test_complex_auto_gemm_bitwise(self, mesh):
         import ozimmu_tpu as oz
         from ozimmu_tpu.parallel.gemm import sharded_gemm_auto
@@ -855,6 +858,7 @@ class TestShardLocalOperands:
             np.ascontiguousarray(want).view(np.uint64).reshape(m, 2 * n),
         )
 
+    @pytest.mark.slow
     def test_131072_shape_plan_constructible(self, mesh):
         # the north-star shape must be CONSTRUCTIBLE with O(shard) host
         # memory: synthesize only one row-block of a 131072^2 operand's
@@ -962,6 +966,7 @@ class TestStreamVariant:
             checked += 1
         assert checked > 20 and raised > 0  # the sweep hit both regimes
 
+    @pytest.mark.slow
     def test_nonsquare_over_budget_selects_stream_and_runs(self, mesh, monkeypatch):
         # the r4 hole, end-to-end: rectangular mesh, slabs over a tiny
         # budget -> "stream" is selected AND the plan actually executes

@@ -45,7 +45,9 @@ class TestRecombinePallas:
         for x, p in zip(Sx, Sp):
             np.testing.assert_array_equal(np.asarray(x), np.asarray(p))
 
-    @pytest.mark.parametrize("ns", [3, 12])
+    @pytest.mark.parametrize(
+        "ns", [3, pytest.param(12, marks=pytest.mark.slow)]
+    )
     def test_split_counts(self, ns):
         Sx, Sp = _run_both(128, 128, 256, ns=ns, block_k=128)
         for x, p in zip(Sx, Sp):

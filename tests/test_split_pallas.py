@@ -28,12 +28,23 @@ def _check(x: np.ndarray, ns: int, b: int, axis: int, br=256, bc=256):
 
 class TestSplitPallas:
     @pytest.mark.parametrize("axis", [0, 1])
-    @pytest.mark.parametrize("ns,b", [(3, 7), (9, 7), (13, 7), (18, 7), (9, 5)])
+    @pytest.mark.parametrize(
+        "ns,b",
+        [
+            (3, 7),
+            (9, 7),
+            pytest.param(13, 7, marks=pytest.mark.slow),
+            pytest.param(18, 7, marks=pytest.mark.slow),
+            (9, 5),
+        ],
+    )
     def test_exp_spread_bitwise(self, axis, ns, b):
         x = generate_input("exp_rand-8", (160, 224), seed=7)
         _check(x, ns, b, axis, br=64, bc=128)
 
-    @pytest.mark.parametrize("axis", [0, 1])
+    @pytest.mark.parametrize(
+        "axis", [0, pytest.param(1, marks=pytest.mark.slow)]
+    )
     def test_special_values(self, axis):
         rng = np.random.default_rng(3)
         x = rng.standard_normal((64, 128))
@@ -46,6 +57,7 @@ class TestSplitPallas:
         x[5, 5] = -1e-300
         _check(x, 9, 7, axis, br=32, bc=128)
 
+    @pytest.mark.slow
     def test_all_zero_matrix(self):
         _check(np.zeros((32, 128)), 9, 7, 1, br=32, bc=128)
 
@@ -54,6 +66,7 @@ class TestSplitPallas:
         _check(x, 8, 7, 1, br=64, bc=128)
         _check(x, 8, 7, 0, br=64, bc=128)
 
+    @pytest.mark.slow
     def test_uniform_big(self):
         x = generate_input("urand01", (256, 384), seed=2)
         _check(x, 9, 7, 1)
