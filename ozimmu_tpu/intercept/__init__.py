@@ -118,6 +118,56 @@ def _traced_candidates() -> tuple:
     return tuple(sorted({int(v) for v in raw.split(",")}))
 
 
+def _feasible_candidates(
+    m: int, n: int, k: int, complex_: bool = False, batch: int = 1
+) -> tuple:
+    """Traced-AUTO candidates whose engine working set can actually fit
+    the HBM budget at this shape.
+
+    A ``lax.switch`` branch compiles whether or not it is ever selected,
+    and XLA's AOT memory check rejects the WHOLE program if any branch
+    cannot fit — at 16384^3 the ns=18 branch's resident planes alone
+    (18 m*k int8 + operand bits) exceed a 16 GB chip at every chunking,
+    so keeping it would make AUTO uncompilable at exactly the scales
+    AUTO matters for (measured: tools/traced_auto_cost.py).  Deep
+    candidates the memory cannot hold are pruned (loudly); if nothing
+    fits the shallowest candidate is kept so the selection logic stays
+    well-formed and the runtime reports the genuine OOM."""
+    from ..schedule import (
+        auto_n_chunks,
+        hbm_budget_bytes,
+        working_set_bytes,
+        working_set_bytes_chunked,
+    )
+
+    cands = _traced_candidates()
+    budget = hbm_budget_bytes()
+    keep = []
+    for ns in cands:
+        if batch > 1:
+            # the batched engine vmaps the unchunked core over the batch
+            fits = batch * working_set_bytes(m, n, k, ns, complex_) <= budget
+        else:
+            nc = auto_n_chunks(m, n, k, ns, complex_)
+            fits = (
+                working_set_bytes_chunked(m, n, k, ns, nc, complex_)
+                <= budget
+            )
+        if fits:
+            keep.append(ns)
+    if not keep:
+        keep = [min(cands)]
+    if tuple(keep) != cands:
+        log(
+            f"traced AUTO: pruned candidates {sorted(set(cands) - set(keep))}"
+            f" at shape ({m},{n},{k})x{batch}"
+            f"{' complex' if complex_ else ''} — working set over the HBM"
+            f" budget ({budget >> 20} MB) at every chunking; remaining"
+            f" {tuple(keep)}"
+        )
+    return tuple(keep)
+
+
 def _auto_branch_index(totals, denom: float, threshold: float, cands):
     """First candidate whose average loss <= threshold, else len(cands)
     (the native-fallback branch) — the reference selection loop
@@ -138,9 +188,9 @@ def _route_2d_auto_traced(a, b, handle: Handle):
     from ..ops.mantissa_loss import mantissa_loss_totals
     from ..schedule import bits_per_int8
 
-    cands = _traced_candidates()
     m, k = a.shape
     n = b.shape[1]
+    cands = _feasible_candidates(m, n, k)
     bb = bits_per_int8(k)
     ax = f64_to_f64x_traced(a)
     bx = f64_to_f64x_traced(b)
@@ -179,9 +229,9 @@ def _route_complex_2d_auto_traced(a, b, handle: Handle):
     engine branches."""
     from ..ops.mantissa_loss import complex_loss_totals
 
-    cands = _traced_candidates()
     m, k = a.shape
     n = b.shape[1]
+    cands = _feasible_candidates(m, n, k, complex_=True)
     ar = f64_to_f64x_traced(jnp.real(a))
     ai = f64_to_f64x_traced(jnp.imag(a))
     br = f64_to_f64x_traced(jnp.real(b))
@@ -321,7 +371,7 @@ def _route_batched(a, b, mode: ComputeMode, handle: Handle):
             bsz, m, k = a.shape
             n = b.shape[2]
             bb = bits_per_int8(k)
-            cands = _traced_candidates()
+            cands = _feasible_candidates(m, n, k, batch=bsz)
             a2 = F64X(ax.hi.reshape(bsz * m, k), ax.lo.reshape(bsz * m, k))
             b2 = F64X(
                 jnp.swapaxes(bx.hi, 0, 1).reshape(k, bsz * n),
@@ -387,7 +437,7 @@ def _route_batched_complex(a, b, mode: ComputeMode, handle: Handle):
 
             bsz, m, k = a.shape
             n = b.shape[2]
-            cands = _traced_candidates()
+            cands = _feasible_candidates(m, n, k, complex_=True, batch=bsz)
 
             def flat_rows(x):  # [B, m, k] -> [B*m, k] plane rows
                 return F64X(x.hi.reshape(bsz * m, k), x.lo.reshape(bsz * m, k))

@@ -171,6 +171,32 @@ class TestInterception:
         assert n0 is not None and n3 is not None, (n0, n3)
         assert n0 < n3, f"expected wider data to need more slices: {n0} vs {n3}"
 
+    def test_feasible_candidate_pruning(self, monkeypatch):
+        # lax.switch compiles every branch; a branch whose working set
+        # cannot fit HBM at any chunking makes the whole AUTO program
+        # uncompilable (seen live: ns=18 at 16384^3 on a 16 GB chip).
+        # The traced router must prune such candidates and stay correct.
+        from ozimmu_tpu.intercept import _feasible_candidates
+
+        full = _feasible_candidates(512, 512, 512)
+        assert full == (8, 9, 10, 12, 16, 18)
+        monkeypatch.setenv("OZIMMU_HBM_BUDGET_MB", "8")
+        pruned = _feasible_candidates(1024, 1024, 1024)
+        assert pruned and pruned[0] == 8 and len(pruned) < len(full)
+        # batched model: the whole batch is resident at once
+        assert len(_feasible_candidates(256, 256, 256, batch=64)) <= len(
+            _feasible_candidates(256, 256, 256)
+        )
+        # selection still runs correctly with a pruned branch set
+        from ozimmu_tpu.testing import generate_input
+
+        a = jnp.asarray(generate_input("urand01", (1040, 1040), seed=90))
+        b = jnp.asarray(generate_input("urand01", (1040, 1040), seed=91))
+        with ozi.intercept(mode="fp64_int8_auto"):
+            c = np.asarray(jax.jit(lambda x, y: x @ y)(a, b))
+        ref = np.asarray(a) @ np.asarray(b)
+        assert np.linalg.norm(c - ref) / np.linalg.norm(ref) < 1e-15
+
     @pytest.mark.slow
     def test_traced_auto_complex_accuracy(self):
         from ozimmu_tpu.testing import generate_input
