@@ -359,6 +359,7 @@ def run_hpl(
     profile: bool = False,
     panel: str = "auto",
     seed: int = 0,
+    dtype: str = "d",
 ) -> int:
     """HPL-class solver benchmark: blocked LU factor + solve on the engine
     (the reference's motivating workload — its shim exists to accelerate
@@ -398,6 +399,52 @@ def run_hpl(
         ) else "host"
     rng_b = np.random.default_rng(99 + seed)
     x_true = rng_b.standard_normal(size)
+
+    if dtype == "z":
+        # ZHPL: complex LU through the 4-pass engine (round-5 complex
+        # device-resident factorization).  A is host-built (the complex
+        # device path takes numpy complex128 and carries (re, im) F64X
+        # plane pairs internally); b and the residual are host matVECs —
+        # O(n^2), exact enough at f64 for the HPL gate.  FLOP accounting
+        # is x4 the real count ((8/3) n^3), matching the harness's x4
+        # complex-GEMM convention (reference test/main_test.cu:140-141).
+        rng_z = np.random.default_rng(7 + seed)
+        a = (
+            rng_z.uniform(size=(size, size))
+            + 1j * (rng_z.uniform(size=(size, size)) - 0.5)
+        )
+        a[np.arange(size), np.arange(size)] = size  # diagonally dominant
+        x_true = x_true + 1j * rng_b.standard_normal(size)
+        norm_a = np.linalg.norm(a)
+        b = a @ x_true
+
+        def factor(prof=None):
+            return linalg.lu_factor(
+                a, mode=mode, block=block, profile=prof,
+                device=device_resident, panel=panel,
+            )
+
+        if warmup:
+            fac = factor()
+            del fac
+        t0 = _time.perf_counter()
+        fac = factor()
+        t_factor = _time.perf_counter() - t0
+        x = linalg.solve(a, b, factor=fac, refine=refine)
+        r_vec = b - a @ x
+        resid = np.linalg.norm(r_vec) / (
+            norm_a * np.linalg.norm(x) + np.linalg.norm(b)
+        )
+        gflops = (8.0 / 3.0) * size**3 / t_factor / 1e9
+        print(
+            f"zhpl,{_device_name()},{mode},n={size},block={block},"
+            f"factor_time={t_factor:.4e}s,gflops_x4={gflops:.4g},"
+            f"refine={refine},residual={resid:.4e},"
+            f"resident={'device' if device_resident else 'host'},"
+            f"panel={panel if device_resident else 'host'}",
+            flush=True,
+        )
+        return 0 if resid < 1e-14 else 1
 
     if device_resident:
         from ozimmu_tpu.core.api import _f64x_to_f32
@@ -551,11 +598,12 @@ def main(argv=None) -> int:
         q.add_argument("--warmup", action="store_true")
         q.add_argument("--profile", action="store_true")
         q.add_argument("--seed", type=int, default=0)
+        q.add_argument("--dtype", default="d", choices=["d", "z"])
         ar = q.parse_args(argv)
         return run_hpl(
             ar.mode, ar.size, ar.block, ar.refine,
             device=ar.device, warmup=ar.warmup, profile=ar.profile,
-            panel=ar.panel, seed=ar.seed,
+            panel=ar.panel, seed=ar.seed, dtype=ar.dtype,
         )
     if argv and argv[0] == "power":
         q = argparse.ArgumentParser()
