@@ -93,4 +93,25 @@ assert np.array_equal(
     zgot.view(np.uint64), np.ascontiguousarray(zref).view(np.uint64)
 ), "multi-process ZGEMM != single-chip engine bitwise"
 
+# shard-local feeding (round 5): every process synthesizes ONLY its
+# addressable shards from the global index — the O(shard)-host-memory
+# path that makes the north-star sizes constructible — then the
+# presharded entry runs the engine without any host materialization.
+# Must be bitwise identical to the dense-fed single-chip engine.
+from ozimmu_tpu.parallel.gemm import sharded_gemm_presharded  # noqa: E402
+from ozimmu_tpu.parallel.launch import shard_local_f64x  # noqa: E402
+
+A_sl = shard_local_f64x((m, k), mesh, spec, lambda idx: a[idx])
+B_sl = shard_local_f64x((k, n), mesh, spec, lambda idx: b[idx])
+out_ps = sharded_gemm_presharded(A_sl, B_sl, 9, mesh)
+got_ps = allgather_f64x(out_ps).reshape(m, n)
+ref_ps = (
+    _gemm_core(F64X.from_numpy(a), F64X.from_numpy(b), 9, 1.0, 0.0)
+    .to_numpy()
+    .reshape(m, n)
+)
+assert np.array_equal(got_ps.view(np.uint64), ref_ps.view(np.uint64)), (
+    "multi-process presharded GEMM != single-chip engine bitwise"
+)
+
 print(f"MP-OK {pid}", flush=True)
