@@ -53,14 +53,16 @@ def main():
         k0, k1 = jax.random.split(jax.random.PRNGKey(0))
         try:
             t0 = time.perf_counter()
-            jax.block_until_ready(factor(k0))  # compile + cold run
+            float(factor(k0))  # compile + cold run; device_get = real sync
             t_cold = time.perf_counter() - t0
         except Exception as e:
             msg = str(e).replace("\n", " ")[:160]
             print(f"native_lu,{dev.device_kind},{dt},n={n},UNSUPPORTED: {msg}")
             continue
+        # block_until_ready is unreliable over the axon tunnel (returns
+        # early on re-dispatch) — force a device_get of the scalar
         t0 = time.perf_counter()
-        jax.block_until_ready(factor(k1))  # warm, different data
+        float(factor(k1))  # warm, different data
         t_warm = time.perf_counter() - t0
         gflops = (2.0 / 3.0) * n**3 / t_warm / 1e9
         print(
