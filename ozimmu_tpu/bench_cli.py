@@ -418,11 +418,31 @@ def run_hpl(
         norm_a = np.linalg.norm(a)
         b = a @ x_true
 
-        def factor(prof=None):
-            return linalg.lu_factor(
-                a, mode=mode, block=block, profile=prof,
-                device=device_resident, panel=panel,
+        if device_resident:
+            from ozimmu_tpu.core.f64x import F64X
+            from ozimmu_tpu.linalg import (
+                _resolve_int8_num_split,
+                _zlu_factor_device,
             )
+
+            ns_z = _resolve_int8_num_split(mode, None)
+
+            def factor(prof=None):
+                # device-plane return: the factorization is timed to a
+                # device_get of one element of the final plane (a true
+                # barrier over the tunnel), NOT to the O(n^2) LU pull
+                planes, piv = _zlu_factor_device(
+                    a, ns_z, block, profile=prof, panel=panel,
+                    return_planes=True,
+                )
+                float(jax.device_get(planes[0][0, 0]))
+                return planes, piv
+        else:
+
+            def factor(prof=None):
+                return linalg.lu_factor(
+                    a, mode=mode, block=block, profile=prof,
+                )
 
         if warmup:
             fac = factor()
@@ -430,6 +450,13 @@ def run_hpl(
         t0 = _time.perf_counter()
         fac = factor()
         t_factor = _time.perf_counter() - t0
+        if device_resident:
+            planes, piv = fac
+            lu_np = (
+                F64X(planes[0], planes[1]).to_numpy()
+                + 1j * F64X(planes[2], planes[3]).to_numpy()
+            ).reshape(size, size)
+            fac = (lu_np, piv)
         x = linalg.solve(a, b, factor=fac, refine=refine)
         r_vec = b - a @ x
         resid = np.linalg.norm(r_vec) / (
@@ -513,7 +540,10 @@ def run_hpl(
     t0 = _time.perf_counter()
     fac = factor()
     if device_resident:
-        jax.block_until_ready(fac[0].hi)
+        # device_get of one element of the final plane: a TRUE barrier
+        # (block_until_ready can return early over the axon tunnel on
+        # re-dispatched computations)
+        float(jax.device_get(fac[0].hi[0, 0]))
     t_factor = _time.perf_counter() - t0
     if profile and device_resident:
         factor(phases)  # second, instrumented pass (syncs per phase)

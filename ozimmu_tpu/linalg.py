@@ -968,6 +968,7 @@ def _zunit_lower_solve_host(l11: np.ndarray, b: np.ndarray) -> np.ndarray:
 def _zlu_factor_device(
     a: np.ndarray, num_split: int, block: int, profile=None,
     panel: str = "host", mesh=None, mesh_axis: str = "x",
+    return_planes: bool = False,
 ) -> Tuple[np.ndarray, np.ndarray]:
     """Device-resident blocked complex LU: the matrix rides as two F64X
     plane pairs; trailing updates are 4-pass engine ZGEMMs.  ``panel``
@@ -1062,6 +1063,12 @@ def _zlu_factor_device(
                 ) + (_time.perf_counter() - t0)
     else:
         raise ValueError(f"panel must be 'host' or 'device', got {panel!r}")
+    if return_planes:
+        # benchmarking hook (bench_cli zhpl): return the device-resident
+        # (re, im) plane pairs so the caller can sync the factorization
+        # without timing the O(n^2 * 16 B) device->host pull — the same
+        # residency contract the real path's F64X return provides.
+        return (rhi, rlo, ihi_m, ilo_m), piv
     lu = (
         F64X(rhi, rlo).to_numpy() + 1j * F64X(ihi_m, ilo_m).to_numpy()
     ).reshape(n, n)
