@@ -408,41 +408,125 @@ def run_hpl(
         # O(n^2), exact enough at f64 for the HPL gate.  FLOP accounting
         # is x4 the real count ((8/3) n^3), matching the harness's x4
         # complex-GEMM convention (reference test/main_test.cu:140-141).
-        rng_z = np.random.default_rng(7 + seed)
-        a = (
-            rng_z.uniform(size=(size, size))
-            + 1j * (rng_z.uniform(size=(size, size)) - 0.5)
-        )
-        a[np.arange(size), np.arange(size)] = size  # diagonally dominant
         x_true = x_true + 1j * rng_b.standard_normal(size)
-        norm_a = np.linalg.norm(a)
-        b = a @ x_true
+        import os as _os
 
-        if device_resident:
-            from ozimmu_tpu.core.f64x import F64X
+        gen_device = device_resident and (
+            jax.default_backend() != "cpu"
+            or _os.environ.get("OZ_HPL_DEVICE_GEN") == "1"  # test hook
+        )
+        if gen_device:
+            # ON-DEVICE operand generation: over a remote tunnel the
+            # O(n^2 * 16 B) complex-operand upload dominates (and has
+            # been observed to wedge the terminal); exact f32->f64
+            # widening on device, diagonal set to n (real) for a
+            # refinement-friendly condition number.
+            from ozimmu_tpu.core.api import _f64x_to_f32
+            from ozimmu_tpu.core.f64x import F64X, from_f32
+            from ozimmu_tpu.core.gemm import zgemm_f64x
             from ozimmu_tpu.linalg import (
                 _resolve_int8_num_split,
                 _zlu_factor_device,
             )
 
             ns_z = _resolve_int8_num_split(mode, None)
+            idx = jnp.arange(size)
+
+            def genz(key):
+                kr, ki = jax.random.split(key)
+                ur = jax.random.uniform(kr, (size, size), dtype=jnp.float32)
+                ur = ur.at[idx, idx].set(jnp.float32(size))
+                ui = jax.random.uniform(
+                    ki, (size, size), dtype=jnp.float32
+                ) - jnp.float32(0.5)
+                ui = ui.at[idx, idx].set(jnp.float32(0))
+                xr, xi = from_f32(ur), from_f32(ui)
+                return xr.hi, xr.lo, xi.hi, xi.lo
+
+            planes_in = jax.jit(genz)(jax.random.PRNGKey(seed))
+            float(jax.device_get(planes_in[0][0, 0]))  # true barrier
+            ar32 = _f64x_to_f32(F64X(planes_in[0], planes_in[1]))
+            ai32 = _f64x_to_f32(F64X(planes_in[2], planes_in[3]))
+            norm_a = float(
+                jnp.sqrt(
+                    jnp.linalg.norm(ar32) ** 2 + jnp.linalg.norm(ai32) ** 2
+                )
+            )
+
+            def zmatvec(v, alpha=1.0, beta=0.0, c=None):
+                # engine complex matvec in row blocks (cf. the real
+                # path's matvec: split-A working set capped ~1 GiB)
+                vr = F64X.from_numpy(np.ascontiguousarray(v.real[:, None]))
+                vi = F64X.from_numpy(np.ascontiguousarray(v.imag[:, None]))
+                rows = max(
+                    256, min(size, (1 << 30) // (24 * size)) // 256 * 256
+                )
+                out = np.empty(size, dtype=np.complex128)
+                for r0 in range(0, size, rows):
+                    r1 = min(r0 + rows, size)
+                    cr = ci = None
+                    if c is not None:
+                        cr = F64X.from_numpy(
+                            np.ascontiguousarray(c.real[r0:r1, None])
+                        )
+                        ci = F64X.from_numpy(
+                            np.ascontiguousarray(c.imag[r0:r1, None])
+                        )
+                    o_re, o_im = zgemm_f64x(
+                        F64X(planes_in[0][r0:r1], planes_in[1][r0:r1]),
+                        F64X(planes_in[2][r0:r1], planes_in[3][r0:r1]),
+                        vr, vi, 12, complex(alpha), complex(beta), cr, ci,
+                    )
+                    out[r0:r1] = (
+                        o_re.to_numpy() + 1j * o_im.to_numpy()
+                    ).reshape(-1)
+                return out
+
+            b = zmatvec(x_true)
 
             def factor(prof=None):
-                # device-plane return: the factorization is timed to a
-                # device_get of one element of the final plane (a true
-                # barrier over the tunnel), NOT to the O(n^2) LU pull
+                # timed to a device_get of one element of the final
+                # plane (true barrier over the tunnel), NOT the O(n^2)
+                # LU pull
                 planes, piv = _zlu_factor_device(
-                    a, ns_z, block, profile=prof, panel=panel,
-                    return_planes=True,
+                    tuple(planes_in), ns_z, block, profile=prof,
+                    panel=panel, return_planes=True,
                 )
                 float(jax.device_get(planes[0][0, 0]))
                 return planes, piv
-        else:
 
-            def factor(prof=None):
-                return linalg.lu_factor(
-                    a, mode=mode, block=block, profile=prof,
+        else:
+            rng_z = np.random.default_rng(7 + seed)
+            a = (
+                rng_z.uniform(size=(size, size))
+                + 1j * (rng_z.uniform(size=(size, size)) - 0.5)
+            )
+            a[np.arange(size), np.arange(size)] = size  # diag dominant
+            norm_a = np.linalg.norm(a)
+            b = a @ x_true
+
+            if device_resident:
+                from ozimmu_tpu.core.f64x import F64X
+                from ozimmu_tpu.linalg import (
+                    _resolve_int8_num_split,
+                    _zlu_factor_device,
                 )
+
+                ns_z = _resolve_int8_num_split(mode, None)
+
+                def factor(prof=None):
+                    planes, piv = _zlu_factor_device(
+                        a, ns_z, block, profile=prof, panel=panel,
+                        return_planes=True,
+                    )
+                    float(jax.device_get(planes[0][0, 0]))
+                    return planes, piv
+            else:
+
+                def factor(prof=None):
+                    return linalg.lu_factor(
+                        a, mode=mode, block=block, profile=prof,
+                    )
 
         if warmup:
             fac = factor()
@@ -451,14 +535,23 @@ def run_hpl(
         fac = factor()
         t_factor = _time.perf_counter() - t0
         if device_resident:
+            from ozimmu_tpu.core.f64x import F64X
+
             planes, piv = fac
             lu_np = (
                 F64X(planes[0], planes[1]).to_numpy()
                 + 1j * F64X(planes[2], planes[3]).to_numpy()
             ).reshape(size, size)
             fac = (lu_np, piv)
-        x = linalg.solve(a, b, factor=fac, refine=refine)
-        r_vec = b - a @ x
+        if gen_device:
+            # A never exists on host: plain substitution solve (refine
+            # would need host-A residuals; the z device benchmark runs
+            # refine=0 — the factorization is already exact-grade)
+            x = linalg.lu_solve(fac, b)
+            r_vec = zmatvec(x, alpha=-1.0, beta=1.0, c=b)  # b - A @ x
+        else:
+            x = linalg.solve(a, b, factor=fac, refine=refine)
+            r_vec = b - a @ x
         resid = np.linalg.norm(r_vec) / (
             norm_a * np.linalg.norm(x) + np.linalg.norm(b)
         )

@@ -977,14 +977,24 @@ def _zlu_factor_device(
     (lu complex128, piv)."""
     import time as _time
 
-    n = a.shape[0]
+    if isinstance(a, tuple):
+        # device-resident input: (rhi, rlo, ihi, ilo) uint32 planes
+        # already on device — no host upload (over a remote tunnel the
+        # O(n^2 * 16 B) operand upload dominates everything else; the
+        # zhpl bench generates its matrix on device and feeds this path)
+        # copy=True: the step programs donate their plane inputs, and the
+        # caller's arrays must survive the factorization (matvecs, reruns)
+        rhi, rlo, ihi_m, ilo_m = (jnp.array(x, copy=True) for x in a)
+        n = rhi.shape[0]
+    else:
+        n = a.shape[0]
+        aXr = F64X.from_numpy(np.ascontiguousarray(a.real))
+        aXi = F64X.from_numpy(np.ascontiguousarray(a.imag))
+        rhi = jnp.array(aXr.hi, copy=True)
+        rlo = jnp.array(aXr.lo, copy=True)
+        ihi_m = jnp.array(aXi.hi, copy=True)
+        ilo_m = jnp.array(aXi.lo, copy=True)
     nb = max(1, min(int(block), n))
-    aXr = F64X.from_numpy(np.ascontiguousarray(a.real))
-    aXi = F64X.from_numpy(np.ascontiguousarray(a.imag))
-    rhi = jnp.array(aXr.hi, copy=True)
-    rlo = jnp.array(aXr.lo, copy=True)
-    ihi_m = jnp.array(aXi.hi, copy=True)
-    ilo_m = jnp.array(aXi.lo, copy=True)
     if mesh is not None:
         from jax.sharding import NamedSharding, PartitionSpec
 
