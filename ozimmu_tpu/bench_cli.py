@@ -676,11 +676,17 @@ def main(argv=None) -> int:
     jax.config.update("jax_enable_x64", True)
     # persistent compile cache: hpl factorizations compile one large
     # engine program per (j, jb) outer step — cache them across runs
-    # (same setup as bench.py / tools/*)
-    jax.config.update(
-        "jax_compilation_cache_dir", os.path.expanduser("~/.cache/ozimmu_jax")
-    )
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # (same setup as bench.py / tools/*).  OZ_NO_COMPILE_CACHE=1 opts
+    # out: over the axon tunnel the cache's executable-serialization
+    # round-trip has been observed to hang some large compiles forever
+    # (the client freezes at its first big jit; plain compiles of the
+    # same program succeed).
+    if os.environ.get("OZ_NO_COMPILE_CACHE") != "1":
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            os.path.expanduser("~/.cache/ozimmu_jax"),
+        )
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     if argv is None:
         argv = sys.argv[1:]
