@@ -677,10 +677,11 @@ def main(argv=None) -> int:
     # persistent compile cache: hpl factorizations compile one large
     # engine program per (j, jb) outer step — cache them across runs
     # (same setup as bench.py / tools/*).  OZ_NO_COMPILE_CACHE=1 opts
-    # out: over the axon tunnel the cache's executable-serialization
-    # round-trip has been observed to hang some large compiles forever
-    # (the client freezes at its first big jit; plain compiles of the
-    # same program succeed).
+    # out, for cold-compile measurements or when diagnosing tunnel
+    # stalls (note: apparent client "hangs" over the axon tunnel are
+    # usually the remote compile queue serving a request tens of
+    # minutes late — judge liveness over 30-60 min via /proc/<pid>/io
+    # and CPU time before giving up on a run).
     if os.environ.get("OZ_NO_COMPILE_CACHE") != "1":
         jax.config.update(
             "jax_compilation_cache_dir",
