@@ -112,6 +112,24 @@ class TestBenchCli:
         with pytest.raises(ValueError, match="dtype"):
             bench_cli.load_raw_matrix(str(p), 7, 1, "int8")
 
+    @pytest.mark.slow
+    def test_zhpl_device_gen(self, monkeypatch):
+        # complex LU benchmark, device-resident with ON-DEVICE operand
+        # generation (the production TPU configuration; OZ_HPL_DEVICE_GEN
+        # forces the path on the CPU backend)
+        monkeypatch.setenv("OZ_HPL_DEVICE_GEN", "1")
+        rc, out = self._capture(
+            bench_cli.main,
+            ["hpl", "fp64_int8_9", "96", "--block", "48",
+             "--device", "on", "--dtype", "z"],
+        )
+        assert rc == 0
+        row = out.strip().splitlines()[-1]
+        assert row.startswith("zhpl,")
+        fields = dict(f.split("=") for f in row.split(",") if "=" in f)
+        assert float(fields["gflops_x4"]) > 0
+        assert float(fields["residual"]) < 1e-14
+
     def test_hpl_mode(self):
         # HPL-class solver benchmark: schema + gate (factor via main() to
         # cover the CLI wiring)
